@@ -1,0 +1,19 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Tests run on a virtual 8-device CPU mesh (the standard JAX recipe for
+exercising multi-chip sharding without hardware — SURVEY.md §4); the real
+TPU chip is reserved for bench.py.  Must run before jax initialises.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compile cache: the traversal while-loops are compile-heavy.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_vkrt_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

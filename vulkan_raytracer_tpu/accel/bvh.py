@@ -1,0 +1,145 @@
+"""Software bounding-volume hierarchy replacing VK_KHR_acceleration_structure.
+
+The reference delegates BLAS/TLAS construction and traversal to the Vulkan
+driver (src/accelerationstructure.cpp:85-229).  On TPU we build our own:
+
+* **Flattened one-level world-space BVH.**  The reference's two-level
+  BLAS-per-primitive / TLAS-over-instances split exists to support instancing
+  and refit (accelerationstructure.cpp:26-32), but its render loop never
+  mutates the scene after load (SURVEY.md §3.5).  We therefore pre-transform
+  every instance's triangles to world space at upload time and build a single
+  BVH over all of them — one traversal loop instead of a nested TLAS->BLAS
+  walk, which matters on a vector machine where every extra level of
+  data-dependent control flow serialises lanes.  ``rebuild()`` re-flattens,
+  providing the same update entry point.
+
+* **Threaded (skip-pointer) layout for stackless traversal.**  Nodes are
+  stored in DFS preorder.  An AABB hit on an interior node advances to
+  ``i+1`` (its left child); a miss — or a processed leaf — jumps to
+  ``miss[i]``, the preorder index just past the node's subtree.  Per-ray
+  traversal state is then a single int32, so a whole wavefront of rays walks
+  the tree inside one ``lax.while_loop`` with no per-lane stacks.
+
+* **Fixed-arity leaves.**  Every leaf owns exactly ``leaf_size`` padded
+  triangle slots stored contiguously, so leaf intersection is a statically
+  unrolled batch of Möller–Trumbore tests — dense VPU work instead of a
+  data-dependent inner loop.
+
+The builder runs in NumPy on the host (scene load is host-side in the
+reference too, scene.cpp:23-143); traversal is pure JAX
+(:mod:`vulkan_raytracer_tpu.ops.traverse`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ThreadedBVH:
+    """Flattened threaded BVH plus its leaf-reordered triangle soup.
+
+    ``first_tri[i] >= 0`` marks a leaf and indexes the first of ``leaf_size``
+    contiguous slots in the padded triangle arrays; interior nodes store -1.
+    ``miss[i]`` is the skip pointer; a value of ``num_nodes`` exits traversal.
+    ``tri_id`` maps padded slots back to the caller's original triangle
+    numbering (-1 for padding), so per-triangle payloads (materials, emissive
+    CDF rows, ...) stay in scene order.
+    """
+
+    aabb_min: jax.Array  # (Nn, 3) f32
+    aabb_max: jax.Array  # (Nn, 3) f32
+    first_tri: jax.Array  # (Nn,) i32
+    miss: jax.Array  # (Nn,) i32
+    tri_v0: jax.Array  # (Nt, 3) f32
+    tri_e1: jax.Array  # (Nt, 3) f32
+    tri_e2: jax.Array  # (Nt, 3) f32
+    tri_id: jax.Array  # (Nt,) i32
+    leaf_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_nodes(self) -> int:
+        return self.aabb_min.shape[0]
+
+    @property
+    def num_tri_slots(self) -> int:
+        return self.tri_v0.shape[0]
+
+
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 8) -> ThreadedBVH:
+    """Build a threaded BVH over world-space triangles.
+
+    Median split on the longest centroid axis (balanced depth ~= log2(T)),
+    equivalent in role to the driver's PREFER_FAST_TRACE build
+    (accelerationstructure.cpp:111).  Host-side NumPy; O(T log^2 T).
+
+    Args:
+      v0, v1, v2: (T, 3) float arrays, triangle vertices in world space.
+      leaf_size: triangles per leaf (padded).
+
+    Returns a :class:`ThreadedBVH` with device arrays.
+    """
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    T = v0.shape[0]
+    if T == 0:
+        raise ValueError("cannot build a BVH over zero triangles")
+
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    centroid = 0.5 * (tmin + tmax)
+
+    node_min: list[np.ndarray] = []
+    node_max: list[np.ndarray] = []
+    first_tri: list[int] = []
+    subtree_end: list[int] = []
+    tri_slots: list[int] = []  # original ids, -1 padding, leaf-contiguous
+
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 10000))
+
+    def rec(ids: np.ndarray) -> None:
+        i = len(node_min)
+        node_min.append(tmin[ids].min(axis=0))
+        node_max.append(tmax[ids].max(axis=0))
+        first_tri.append(-1)
+        subtree_end.append(-1)
+        if len(ids) <= leaf_size:
+            first_tri[i] = len(tri_slots)
+            tri_slots.extend(ids.tolist())
+            tri_slots.extend([-1] * (leaf_size - len(ids)))
+        else:
+            c = centroid[ids]
+            axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            mid = len(ids) // 2
+            part = np.argpartition(c[:, axis], mid)
+            rec(ids[part[:mid]])
+            rec(ids[part[mid:]])
+        subtree_end[i] = len(node_min)
+
+    rec(np.arange(T, dtype=np.int64))
+
+    slots = np.asarray(tri_slots, np.int32)
+    safe = np.maximum(slots, 0)
+    pad = (slots < 0)[:, None]
+    tv0 = np.where(pad, 0.0, v0[safe]).astype(np.float32)
+    te1 = np.where(pad, 0.0, (v1 - v0)[safe]).astype(np.float32)
+    te2 = np.where(pad, 0.0, (v2 - v0)[safe]).astype(np.float32)
+
+    dev = jax.numpy.asarray
+    return ThreadedBVH(
+        aabb_min=dev(np.stack(node_min)),
+        aabb_max=dev(np.stack(node_max)),
+        first_tri=dev(np.asarray(first_tri, np.int32)),
+        miss=dev(np.asarray(subtree_end, np.int32)),
+        tri_v0=dev(tv0),
+        tri_e1=dev(te1),
+        tri_e2=dev(te2),
+        tri_id=dev(slots),
+        leaf_size=leaf_size,
+    )
