@@ -1,0 +1,142 @@
+"""glTF import + scene upload golden-value tests (CornellBox.gltf)."""
+
+import numpy as np
+import pytest
+
+from vulkan_raytracer_tpu.scene.camera import Camera, look_at, perspective
+from vulkan_raytracer_tpu.scene.gltf import GLTF, node_local_transform, quat_to_mat4
+from vulkan_raytracer_tpu.scene.scenegraph import Scene
+
+CORNELL = "/root/reference/res/CornellBox.gltf"
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    s = Scene()
+    s.load_model(CORNELL)
+    return s, s.upload()
+
+
+def test_cornell_counts(cornell):
+    s, t = cornell
+    assert len(s.materials) == 8
+    assert t.num_triangles == 32
+    assert t.num_emissive_tris == 2
+    assert t.num_point == 0 and t.num_directional == 0
+    assert not t.has_alpha and not t.has_textures
+
+
+def test_cornell_materials(cornell):
+    s, _ = cornell
+    names_emissive = [m.is_emissive for m in s.materials]
+    assert names_emissive == [False] * 7 + [True]
+    # KHR_materials_emissive_strength premultiplied (scene.cpp:185-188)
+    np.testing.assert_allclose(s.materials[7].emissive_factor, 10.0, rtol=1e-5)
+    assert s.materials[0].ior == 1.5
+
+
+def test_cornell_emissive_cdf(cornell):
+    _, t = cornell
+    cdf = np.asarray(t.em_cdf)
+    # two equal-area light triangles -> [0.5, 1.0] (scene.cpp:450-459)
+    np.testing.assert_allclose(cdf, [0.5, 1.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t.em_tables.p_delta), [0.5, 0.5], atol=1e-5)
+
+
+def test_cornell_world_transform(cornell):
+    """The root node carries a 90-degree X rotation (CornellBox.gltf node 0);
+    the box must be y-up in world space, ~2 units tall."""
+    _, t = cornell
+    v = np.asarray(t.tri_v0)
+    assert v[:, 1].min() > -1e-3 and 1.9 < v[:, 1].max() < 2.1
+    assert abs(v[:, 0]).max() < 1.2
+
+
+def test_bvh_tri_ids_cover_scene(cornell):
+    _, t = cornell
+    ids = np.asarray(t.bvh.tri_id)
+    assert sorted(ids[ids >= 0].tolist()) == list(range(32))
+    eids = np.asarray(t.ebvh.tri_id)
+    assert sorted(eids[eids >= 0].tolist()) == [0, 1]
+
+
+def test_quat_matrix():
+    m = quat_to_mat4(np.cos(np.pi / 4), np.sin(np.pi / 4), 0, 0)  # 90deg about X
+    v = m[:3, :3] @ np.array([0.0, 0.0, 1.0])
+    np.testing.assert_allclose(v, [0, -1, 0], atol=1e-6)
+
+
+def test_node_trs_order():
+    # T * R * S: scale applies first (scene.cpp:355-365)
+    node = {
+        "translation": [1, 0, 0],
+        "rotation": [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)],  # 90deg about Z
+        "scale": [2, 1, 1],
+    }
+    m = node_local_transform(node)
+    p = m @ np.array([1.0, 0.0, 0.0, 1.0])
+    # scale -> (2,0,0); rotate 90 about Z -> (0,2,0); translate -> (1,2,0)
+    np.testing.assert_allclose(p[:3], [1, 2, 0], atol=1e-5)
+
+
+def test_camera_matrices_match_glm_conventions():
+    cam = Camera(
+        position=np.array([0.0, 1.0, 3.0]),
+        direction=np.array([0.0, 0.0, -1.0]),
+        aspect=4 / 3,
+    )
+    vi = cam.view_inverse()
+    # camera origin reconstruction (raygen.rgen:42)
+    np.testing.assert_allclose(vi @ np.array([0, 0, 0, 1.0]), [0, 1, 3, 1], atol=1e-5)
+    # forward maps to -z in view space (RH)
+    v = cam.view()
+    f = v[:3, :3] @ np.array([0.0, 0.0, -1.0])
+    np.testing.assert_allclose(f, [0, 0, -1], atol=1e-6)
+    # perspective: ndc (0,0,1,1) unprojects onto the -z axis
+    pinv = cam.projection_inverse()
+    tgt = pinv @ np.array([0, 0, 1, 1.0])
+    assert tgt[2] < 0 and abs(tgt[0]) < 1e-6
+
+
+def test_camera_input():
+    cam = Camera(direction=np.array([0.0, 0.0, -1.0]))
+    cam.process_key_input({"w"}, dt=0.5)
+    np.testing.assert_allclose(cam.position, [0, 1, -1], atol=1e-6)
+    assert cam.position_changed
+    cam.process_key_input({"s", "shift"}, dt=0.5)  # 3x speed back
+    np.testing.assert_allclose(cam.position, [0, 1, 2], atol=1e-6)
+    cam.cursor_moved(10.0, 0.0, left=True)
+    assert cam.direction_changed
+    np.testing.assert_allclose(np.linalg.norm(cam.direction), 1.0, atol=1e-6)
+    fov0 = cam.fov
+    cam.cursor_moved(0.0, 5.0, right=True)
+    assert cam.fov > fov0
+
+
+def test_gltf_accessor_interleaved(tmp_path):
+    import base64
+    import json
+    import struct
+
+    # two vec3 positions interleaved with vec2 uv (stride 20)
+    raw = struct.pack("<5f", 1, 2, 3, 0.5, 0.25) + struct.pack("<5f", 4, 5, 6, 0.75, 1.0)
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [
+            {
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(raw).decode(),
+                "byteLength": len(raw),
+            }
+        ],
+        "bufferViews": [{"buffer": 0, "byteOffset": 0, "byteLength": len(raw), "byteStride": 20}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 2, "type": "VEC3"},
+            {"bufferView": 0, "byteOffset": 12, "componentType": 5126, "count": 2, "type": "VEC2"},
+        ],
+    }
+    p = tmp_path / "t.gltf"
+    p.write_text(json.dumps(doc))
+    g = GLTF.load(p)
+    np.testing.assert_allclose(g.accessor(0), [[1, 2, 3], [4, 5, 6]])
+    np.testing.assert_allclose(g.accessor(1), [[0.5, 0.25], [0.75, 1.0]])

@@ -1,0 +1,158 @@
+"""Renderer: progressive accumulation, tonemapped output, headless batching.
+
+The TPU counterpart of the Raytracer layer (src/raytracer.cpp): owns the
+accumulation buffer (RGBA32F image, raytracer.cpp:129-144), the progressive
+sample counter (raytracer.cpp:534), camera-move resets (raytracer.cpp:503),
+and the tonemapped display image (shaders/raygen.rgen:90-99).  The ~1,500
+LoC of pipeline/SBT/descriptor plumbing (raytracer.cpp:147-449) has no
+analogue: XLA compiles the whole frame into one program.
+
+Two APIs:
+* :class:`Renderer` — interactive/progressive, one sample per
+  :meth:`Renderer.draw_frame` exactly like the reference's render loop;
+* :func:`render_image` — headless batch: ``spp`` samples in a single jitted
+  ``lax.scan`` with fixed-order accumulation (bit-reproducible for a given
+  chunking), the new capability the reference lacks (it has no image
+  writer, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tonemap import reinhard_jodie
+from ..scene.camera import Camera
+from ..scene.scenegraph import SceneTables
+from .integrator import render_sample
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 6))
+def _render_one(tables, view_inv, proj_inv, width, height, sample_count, max_depth):
+    return render_sample(
+        tables, view_inv, proj_inv, width, height, sample_count, max_depth
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _render_batch(tables, view_inv, proj_inv, width, height, max_depth, spp, start_sample):
+    """Sum ``spp`` samples starting at ``start_sample`` in fixed scan order."""
+
+    def step(acc, s):
+        radiance, rays = render_sample(
+            tables, view_inv, proj_inv, width, height, s, max_depth
+        )
+        return acc + radiance, rays
+
+    init = jnp.zeros((width * height, 3), jnp.float32)
+    samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
+    acc, rays = jax.lax.scan(step, init, samples)
+    return acc, rays
+
+
+def camera_uniforms(camera: Camera):
+    """CameraProperties equivalent (raytracer.h:18-20)."""
+    return (
+        jnp.asarray(camera.view_inverse(), jnp.float32),
+        jnp.asarray(camera.projection_inverse(), jnp.float32),
+    )
+
+
+def render_image(
+    tables: SceneTables,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int = 5,
+    start_sample: int = 1,
+    tonemap: bool = True,
+):
+    """Headless render: returns ((H, W, 3) float array, total_rays).
+
+    ``start_sample`` defaults to 1 so the accumulated image matches the
+    reference's steady state (sample 0 is the preview frame and is excluded
+    from its accumulation buffer, raygen.rgen:95-96).
+    """
+    camera.aspect = width / height
+    view_inv, proj_inv = camera_uniforms(camera)
+    acc, rays = _render_batch(
+        tables, view_inv, proj_inv, width, height, max_depth, spp,
+        jnp.uint32(start_sample),
+    )
+    img = acc / jnp.float32(spp)
+    if tonemap:
+        img = reinhard_jodie(img)
+    img = jax.device_get(img).reshape(height, width, 3)
+    total_rays = int(np.asarray(jax.device_get(rays), dtype=np.int64).sum())
+    return img, total_rays
+
+
+class Renderer:
+    """Progressive renderer with the reference's frame-loop semantics.
+
+    drawFrame (raytracer.cpp:501-535): reset the sample counter when the
+    camera moved, render one sample, accumulate (samples >= 1), tonemap
+    ``accumulated / sampleCount`` for display.
+    """
+
+    def __init__(
+        self,
+        tables: SceneTables,
+        camera: Camera,
+        width: int,
+        height: int,
+        max_depth: int = 5,
+    ):
+        self.tables = tables
+        self.camera = camera
+        self.width = width
+        self.height = height
+        self.max_depth = max_depth
+        self.sample_count = 0
+        self.accum = jnp.zeros((width * height, 3), jnp.float32)
+        self.total_rays = 0
+        camera.aspect = width / height
+
+    def handle_resize(self, width: int, height: int) -> None:
+        """raytracer.cpp:493-499: new images, reset accumulation."""
+        self.width, self.height = width, height
+        self.camera.aspect = width / height
+        self.accum = jnp.zeros((width * height, 3), jnp.float32)
+        self.sample_count = 0
+
+    def reset_accumulation(self) -> None:
+        self.sample_count = 0
+
+    def draw_frame(self) -> np.ndarray:
+        """Render one progressive sample; returns the tonemapped (H, W, 3)
+        uint8 display image."""
+        if self.camera.position_changed or self.camera.direction_changed:
+            self.sample_count = 0  # raytracer.cpp:503
+            self.camera.position_changed = False
+            self.camera.direction_changed = False
+        view_inv, proj_inv = camera_uniforms(self.camera)
+        radiance, rays = _render_one(
+            self.tables,
+            view_inv,
+            proj_inv,
+            self.width,
+            self.height,
+            jnp.uint32(self.sample_count),
+            self.max_depth,
+        )
+        self.total_rays += int(jax.device_get(rays))
+        if self.sample_count == 0:
+            # preview frame: accumulation cleared, value shown directly
+            self.accum = jnp.zeros_like(self.accum)
+            display = radiance
+        else:
+            self.accum = self.accum + radiance
+            display = self.accum / jnp.float32(self.sample_count)
+        self.sample_count += 1
+        img = reinhard_jodie(display)
+        img8 = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        return np.asarray(jax.device_get(img8)).reshape(self.height, self.width, 3)

@@ -1,0 +1,676 @@
+"""Scene graph, glTF import, and flat GPU-table upload.
+
+The TPU analogue of the reference's scene layer (src/scene.cpp,
+include/scene.h): a :class:`Scene` owns a tree of :class:`SceneObject`
+nodes, host-side mesh/material/light pools filled by :meth:`Scene.load_model`
+(scene.cpp:23-343), and :meth:`Scene.upload` which produces the flat device
+tables consumed by the integrator — the counterpart of the reference's six
+SSBOs (scene.cpp:281-342) plus the acceleration structures.
+
+Key structural deviation from the reference (deliberate, TPU-first): at
+upload time every (node, primitive) instance is flattened to world space and
+assigned its own contiguous triangle range, instead of keeping shared
+per-primitive geometry referenced by TLAS instances
+(accelerationstructure.cpp:157-177).  Data-dependent two-level traversal
+serialises a vector machine; flattening gives a single BVH walk.  This also
+fixes a latent reference issue where multiple instances of one emissive
+primitive overwrite each other's ``emissiveSurfaceIdx`` (scene.cpp:384-392).
+Re-instancing after moving nodes = calling :meth:`Scene.upload` again
+(the analogue of AccelerationStructure::rebuild, accelerationstructure.cpp:26).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.bvh import ThreadedBVH, build_bvh
+from ..ops.traverse import AlphaTables, EmissivePDFTables
+from ..utils import logging as log
+from . import gltf as gltf_mod
+
+_LUMA = np.array([0.2126, 0.7152, 0.0722], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side PODs (material.h / light.h equivalents)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Material:
+    """Host material mirroring include/material.h:5-18 (+ glTF defaults).
+
+    ``emissive_factor`` has KHR_materials_emissive_strength pre-multiplied
+    (material.h:9, scene.cpp:185-188).  NOTE: the reference assigns
+    ``anisotropyRotation`` into ``anisotropyStrength`` (scene.cpp:224); we
+    implement the evidently intended behaviour (rotation -> rotation).
+    """
+
+    base_colour_factor: np.ndarray = field(
+        default_factory=lambda: np.ones(4, np.float32)
+    )
+    alpha_mode: int = 0  # 0=OPAQUE 1=MASK 2=BLEND (scene.cpp:169-176)
+    alpha_cutoff: float = 0.5
+    emissive_factor: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    metallic_factor: float = 1.0
+    roughness_factor: float = 1.0
+    transmission_factor: float = 0.0
+    thickness_factor: float = 0.0
+    attenuation_coefficient: np.ndarray = field(
+        default_factory=lambda: np.zeros(3, np.float32)
+    )
+    ior: float = 1.5
+    anisotropy_strength: float = 0.0
+    anisotropy_rotation: float = 0.0
+    dispersion: float = 0.0
+    base_colour_tex: int = -1
+    metallic_roughness_tex: int = -1
+    normal_tex: int = -1
+    emissive_tex: int = -1
+    transmission_tex: int = -1
+    anisotropy_tex: int = -1
+
+    @property
+    def is_emissive(self) -> bool:
+        return bool(np.any(self.emissive_factor != 0.0))
+
+
+@dataclass
+class PointLight:  # light.h:8-12
+    position: np.ndarray
+    colour: np.ndarray
+    intensity: float
+    range: float  # 0 = unbounded
+
+
+@dataclass
+class DirectionalLight:  # light.h:14-17
+    direction: np.ndarray
+    colour: np.ndarray
+    intensity: float
+
+
+@dataclass
+class Primitive:
+    """One glTF mesh primitive's host arrays (mesh.h:9-23 equivalent)."""
+
+    positions: np.ndarray  # (V, 3) f32
+    normals: np.ndarray  # (V, 3) f32, unit (scene.cpp:104)
+    tangents: np.ndarray  # (V, 4) f32, w = handedness sign, 0 if absent
+    uvs: np.ndarray  # (V, 2) f32
+    indices: np.ndarray  # (3F,) u32
+    material: int
+
+
+@dataclass
+class SceneObject:
+    """Scene-graph node (scene.h:22-37): transform + optional mesh."""
+
+    local_transform: np.ndarray
+    world_transform: np.ndarray
+    mesh: int = -1  # index into Scene.mesh_pool, -1 = none
+    depth: int = 0
+    parent: "SceneObject | None" = None
+    children: list["SceneObject"] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Device tables
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MaterialTable:
+    """SoA material table — the device mirror of SSBO binding 6."""
+
+    base_colour: jax.Array  # (M, 4)
+    emissive: jax.Array  # (M, 3)
+    metallic: jax.Array  # (M,)
+    roughness: jax.Array  # (M,)
+    transmission: jax.Array  # (M,)
+    thin: jax.Array  # (M,) bool — thicknessFactor == 0 (hit.rchit:98)
+    attenuation: jax.Array  # (M, 3)
+    ior: jax.Array  # (M,)
+    aniso_strength: jax.Array  # (M,)
+    aniso_rotation: jax.Array  # (M,)
+    dispersion: jax.Array  # (M,)
+    tex_idx: jax.Array  # (M, 6) i32: base/mr/normal/emissive/transmission/aniso
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneTables:
+    """Everything the integrator needs, flat on device.
+
+    Replaces the reference's descriptor set (raytracer.cpp:148-238):
+    TLAS/BLAS -> ``bvh``/``ebvh``; SSBOs 5-10 -> the arrays below; bindless
+    texture array -> ``tex_data``/``tex_size`` (padded stack).
+    Counts gate code paths statically, like specialising the pipeline.
+    """
+
+    # triangles, flattened world space, scene order
+    tri_v0: jax.Array  # (T, 3)
+    tri_v1: jax.Array
+    tri_v2: jax.Array
+    tri_n: jax.Array  # (T, 3, 3) unnormalised world vertex normals
+    tri_tg: jax.Array  # (T, 3, 3) world tangents (xyz)
+    tri_tg_sign: jax.Array  # (T,) tangent w of vertex 0 (hit.rchit:46)
+    tri_uv: jax.Array  # (T, 3, 2)
+    tri_mat: jax.Array  # (T,) i32
+
+    materials: MaterialTable
+    alpha: AlphaTables  # per-tri alpha test data for traversal
+
+    # lights (SSBOs 7-10)
+    pl_pos: jax.Array  # (P, 3)
+    pl_colour: jax.Array  # (P, 3)
+    pl_intensity: jax.Array  # (P,)
+    pl_range: jax.Array  # (P,)
+    dl_dir: jax.Array  # (D, 3)
+    dl_colour: jax.Array  # (D, 3)
+    dl_intensity: jax.Array  # (D,)
+
+    # emissive-triangle CDF (scene.cpp:450-459, normalised :288-292)
+    em_cdf: jax.Array  # (Te,) cumulative, last == 1
+    em_tables: EmissivePDFTables  # p_delta/area/normals for the pdf probe
+    em_tri: jax.Array  # (Te,) i32 -> scene triangle id
+
+    # acceleration structures
+    bvh: ThreadedBVH
+    ebvh: ThreadedBVH  # emissive-only (cullMask bit-1 equivalent)
+
+    # environment (binding 11)
+    skybox: jax.Array  # (H, W, 3) f32 equirect
+    skybox_strength: jax.Array  # () f32
+
+    # bindless texture stack (binding 12); (NT, MH, MW, 4) zero-padded
+    tex_data: jax.Array
+    tex_size: jax.Array  # (NT, 2) i32 (h, w)
+
+    # static specialisation flags
+    num_point: int = dataclasses.field(metadata=dict(static=True))
+    num_directional: int = dataclasses.field(metadata=dict(static=True))
+    num_emissive_tris: int = dataclasses.field(metadata=dict(static=True))
+    has_alpha: bool = dataclasses.field(metadata=dict(static=True))
+    has_textures: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Scene
+# ---------------------------------------------------------------------------
+
+
+def _inv_transpose3(m4: np.ndarray) -> np.ndarray:
+    """Normal-transform matrix: transpose(inverse(upper3x3)) (hit.rchit:59)."""
+    return np.linalg.inv(m4[:3, :3]).T.astype(np.float32)
+
+
+def _decompose_rotation(m4: np.ndarray) -> np.ndarray:
+    """Rotation part of a TRS matrix (scale removed; shear unsupported).
+
+    The reference uses glm::decompose for light placement (scene.cpp:368-375);
+    for the transforms the CLI and glTF produce (T*R*S) dividing out column
+    norms is exact.
+    """
+    r = m4[:3, :3].astype(np.float64)
+    norms = np.linalg.norm(r, axis=0)
+    norms[norms == 0] = 1.0
+    return (r / norms).astype(np.float32)
+
+
+class Scene:
+    """Scene graph + host pools; ``load_model`` then ``upload``.
+
+    Mirrors the reference Scene (scene.h:39-66): multiple glTF files may be
+    loaded, each under a per-model root transform (raytracer.cpp:46-47,
+    main.cpp:159-165).
+    """
+
+    def __init__(self) -> None:
+        self.root = SceneObject(
+            np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32)
+        )
+        self.mesh_pool: list[list[Primitive]] = []
+        self.materials: list[Material] = []
+        self.point_lights: list[PointLight] = []
+        self.directional_lights: list[DirectionalLight] = []
+        self.textures: list[np.ndarray] = []  # (H, W, 4) f32 each
+        self.skybox: np.ndarray | None = None  # (H, W, 3) f32
+        self.skybox_strength: float = 1.0
+        self.object_count = 0
+        self.max_depth = 0
+
+    # -- graph ----------------------------------------------------------
+
+    def add_node(
+        self, parent: SceneObject, local: np.ndarray, mesh: int = -1
+    ) -> SceneObject:
+        node = SceneObject(
+            local_transform=np.asarray(local, np.float32),
+            world_transform=(parent.world_transform @ local).astype(np.float32),
+            mesh=mesh,
+            depth=parent.depth + 1,
+            parent=parent,
+        )
+        parent.children.append(node)
+        self.object_count += 1
+        self.max_depth = max(self.max_depth, node.depth)
+        return node
+
+    def iter_depth_first(self):
+        """DFS preorder over the tree without recursion.
+
+        The iterative analogue of the reference's stackless per-depth
+        iterator (scene.h:67-112); order matches processModelRecursive so
+        emissive CDF rows line up.
+        """
+        stack = [self.root]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+    # -- import ----------------------------------------------------------
+
+    def load_model(self, path: str | Path, transform: np.ndarray | None = None) -> None:
+        """Import one glTF file under ``transform`` (scene.cpp:23-343)."""
+        path = Path(path)
+        log.info("Loading model %s", path.name)
+        g = gltf_mod.GLTF.load(path)
+
+        base_mesh = len(self.mesh_pool)
+        base_material = len(self.materials)
+        base_texture = len(self.textures)
+
+        # meshes (scene.cpp:44-143)
+        for gltf_mesh in g.meshes:
+            prims: list[Primitive] = []
+            for prim in gltf_mesh.get("primitives", []):
+                attrs = prim["attributes"]
+                pos = g.accessor(attrs["POSITION"])[:, :3].astype(np.float32)
+                nrm = g.accessor(attrs["NORMAL"])[:, :3].astype(np.float32)
+                nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+                nv = pos.shape[0]
+                uv = (
+                    g.accessor(attrs["TEXCOORD_0"])[:, :2].astype(np.float32)
+                    if "TEXCOORD_0" in attrs
+                    else np.zeros((nv, 2), np.float32)
+                )
+                tan = (
+                    g.accessor(attrs["TANGENT"]).astype(np.float32)
+                    if "TANGENT" in attrs
+                    else np.zeros((nv, 4), np.float32)
+                )
+                idx = g.primitive_indices(prim)
+                mat = base_material + prim.get("material", 0)
+                prims.append(Primitive(pos, nrm, tan, uv, idx, mat))
+            self.mesh_pool.append(prims)
+
+        # materials + 5 KHR extensions (scene.cpp:148-231)
+        for gm in g.materials:
+            self.materials.append(self._parse_material(g, gm, base_texture))
+        if g.meshes and not g.materials:
+            self.materials.append(Material())  # default for material-less prims
+
+        # images -> texture pool (scene.cpp:233-243)
+        for img in g.images:
+            self.textures.append(self._load_image(g, img))
+
+        # punctual lights (scene.cpp:246-270); poses filled in the node walk
+        light_slots: list[tuple[str, int]] = []
+        for gl in g.lights:
+            colour = np.asarray(gl.get("color", [1, 1, 1]), np.float32)
+            intensity = float(gl.get("intensity", 1.0))
+            if gl.get("type") == "point":
+                light_slots.append(("point", len(self.point_lights)))
+                self.point_lights.append(
+                    PointLight(np.zeros(3, np.float32), colour, intensity, float(gl.get("range", 0.0)))
+                )
+            elif gl.get("type") == "directional":
+                light_slots.append(("directional", len(self.directional_lights)))
+                self.directional_lights.append(
+                    DirectionalLight(np.array([0, 0, -1], np.float32), colour, intensity)
+                )
+            else:  # spot etc. — reference ignores them too (scene.cpp:254-268)
+                light_slots.append(("unsupported", -1))
+
+        # node walk (scene.cpp:344-404)
+        if transform is None:
+            transform = np.eye(4, dtype=np.float32)
+        model_root = self.add_node(self.root, transform)
+        for node_idx in g.scene_root_nodes():
+            self._process_node(model_root, g, g.nodes[node_idx], base_mesh, light_slots)
+        log.info("Finished loading model %s", path.name)
+
+    def _parse_material(self, g: gltf_mod.GLTF, gm: dict, base_tex: int) -> Material:
+        m = Material()
+        pbr = gm.get("pbrMetallicRoughness", {})
+        m.base_colour_factor = np.asarray(
+            pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32
+        )
+        m.metallic_factor = float(pbr.get("metallicFactor", 1.0))
+        m.roughness_factor = float(pbr.get("roughnessFactor", 1.0))
+
+        def tex(src: dict | None) -> int:
+            if not src:
+                return -1
+            return base_tex + g.textures[src["index"]].get("source", -1)
+
+        m.base_colour_tex = tex(pbr.get("baseColorTexture"))
+        m.metallic_roughness_tex = tex(pbr.get("metallicRoughnessTexture"))
+        m.normal_tex = tex(gm.get("normalTexture"))
+        m.emissive_tex = tex(gm.get("emissiveTexture"))
+
+        m.alpha_mode = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}.get(
+            gm.get("alphaMode", "OPAQUE"), 0
+        )
+        m.alpha_cutoff = float(gm.get("alphaCutoff", 0.5))
+        m.emissive_factor = np.asarray(gm.get("emissiveFactor", [0, 0, 0]), np.float32)
+
+        ext = gm.get("extensions", {})
+        if "KHR_materials_emissive_strength" in ext:
+            m.emissive_factor = m.emissive_factor * np.float32(
+                ext["KHR_materials_emissive_strength"].get("emissiveStrength", 1.0)
+            )
+        if "KHR_materials_transmission" in ext:
+            tr = ext["KHR_materials_transmission"]
+            m.transmission_factor = float(tr.get("transmissionFactor", 0.0))
+            m.transmission_tex = tex(tr.get("transmissionTexture"))
+        if "KHR_materials_volume" in ext:
+            vol = ext["KHR_materials_volume"]
+            m.thickness_factor = float(vol.get("thicknessFactor", 0.0))
+            att_dist = float(vol.get("attenuationDistance", np.inf))
+            att_col = np.asarray(vol.get("attenuationColor", [1, 1, 1]), np.float64)
+            # sigma = -log(colour)/distance (scene.cpp:209)
+            with np.errstate(divide="ignore"):
+                m.attenuation_coefficient = (
+                    -np.log(np.maximum(att_col, 1e-30)) / att_dist
+                ).astype(np.float32)
+        if "KHR_materials_ior" in ext:
+            m.ior = float(ext["KHR_materials_ior"].get("ior", 1.5))
+        if "KHR_materials_anisotropy" in ext:
+            an = ext["KHR_materials_anisotropy"]
+            m.anisotropy_strength = float(an.get("anisotropyStrength", 0.0))
+            m.anisotropy_rotation = float(an.get("anisotropyRotation", 0.0))
+            m.anisotropy_tex = tex(an.get("anisotropyTexture"))
+        if "KHR_materials_dispersion" in ext:
+            m.dispersion = float(ext["KHR_materials_dispersion"].get("dispersion", 0.0))
+        return m
+
+    def _load_image(self, g: gltf_mod.GLTF, img: dict) -> np.ndarray:
+        from ..utils import image as image_io
+
+        uri = img.get("uri")
+        try:
+            if uri and not uri.startswith("data:"):
+                return image_io.load_texture(g.base_dir / uri)
+            if uri:  # data URI
+                import base64 as _b64
+
+                _, b64 = uri.split(",", 1)
+                return image_io.decode_texture(_b64.b64decode(b64))
+            bv = g.doc["bufferViews"][img["bufferView"]]
+            buf = g.buffers[bv["buffer"]]
+            off = bv.get("byteOffset", 0)
+            return image_io.decode_texture(buf[off : off + bv["byteLength"]])
+        except Exception as e:  # keep loading; sample as white
+            log.error("Failed to load image %s: %s", uri or "<bufferView>", e)
+            return np.ones((1, 1, 4), np.float32)
+
+    def _process_node(self, parent, g, node, base_mesh, light_slots) -> None:
+        local = gltf_mod.node_local_transform(node)
+        so = self.add_node(
+            parent, local, base_mesh + node["mesh"] if "mesh" in node else -1
+        )
+        world = so.world_transform
+
+        light = g.node_light(node)
+        if light >= 0 and light < len(light_slots):
+            kind, idx = light_slots[light]
+            if kind == "point":
+                self.point_lights[idx].position = world[:3, 3].copy()
+            elif kind == "directional":
+                rot = _decompose_rotation(world)
+                self.directional_lights[idx].direction = (
+                    rot @ np.array([0, 0, -1], np.float32)
+                ).astype(np.float32)
+
+        for child in node.get("children", []):
+            self._process_node(so, g, g.nodes[child], base_mesh, light_slots)
+
+    # -- upload ------------------------------------------------------------
+
+    def upload(self, leaf_size: int = 8) -> SceneTables:
+        """Flatten instances to world space and build all device tables.
+
+        The analogue of Scene::uploadResources (scene.cpp:281-342) plus the
+        AS build (accelerationstructure.cpp:34-229), fused: one pass over
+        the DFS emits world-space triangles, the emissive CDF
+        (processEmissivePrimitive, scene.cpp:407-459, luminance-area
+        heuristic cumulated in DFS order and normalised at the end), and
+        both BVHs.
+        """
+        v0s, v1s, v2s = [], [], []
+        n_tris, tg_tris, uv_tris = [], [], []
+        sign_tris, mat_tris = [], []
+        em_heuristic: list[np.ndarray] = []
+        em_tri_ids: list[np.ndarray] = []
+
+        tri_base = 0
+        for node in self.iter_depth_first():
+            if node.mesh < 0:
+                continue
+            world = node.world_transform
+            nrm_m = _inv_transpose3(world)
+            for prim in self.mesh_pool[node.mesh]:
+                idx = prim.indices.reshape(-1, 3)
+                pos_w = prim.positions @ world[:3, :3].T + world[:3, 3]
+                nrm_w = prim.normals @ nrm_m.T
+                tan_w = prim.tangents[:, :3] @ nrm_m.T
+                v0s.append(pos_w[idx[:, 0]])
+                v1s.append(pos_w[idx[:, 1]])
+                v2s.append(pos_w[idx[:, 2]])
+                n_tris.append(np.stack([nrm_w[idx[:, k]] for k in range(3)], axis=1))
+                tg_tris.append(np.stack([tan_w[idx[:, k]] for k in range(3)], axis=1))
+                uv_tris.append(
+                    np.stack([prim.uvs[idx[:, k]] for k in range(3)], axis=1)
+                )
+                sign_tris.append(prim.tangents[idx[:, 0], 3])
+                nt = idx.shape[0]
+                mat_tris.append(np.full(nt, prim.material, np.int32))
+
+                mat = self.materials[prim.material]
+                if mat.is_emissive:
+                    area = 0.5 * np.linalg.norm(
+                        np.cross(
+                            pos_w[idx[:, 1]] - pos_w[idx[:, 0]],
+                            pos_w[idx[:, 2]] - pos_w[idx[:, 0]],
+                        ),
+                        axis=-1,
+                    )
+                    h = area * float(mat.emissive_factor @ _LUMA)
+                    em_heuristic.append(h.astype(np.float32))
+                    em_tri_ids.append(np.arange(tri_base, tri_base + nt, dtype=np.int32))
+                tri_base += nt
+
+        if tri_base == 0:
+            raise ValueError("scene contains no triangles")
+
+        v0 = np.concatenate(v0s).astype(np.float32)
+        v1 = np.concatenate(v1s).astype(np.float32)
+        v2 = np.concatenate(v2s).astype(np.float32)
+        tri_n = np.concatenate(n_tris).astype(np.float32)
+        tri_tg = np.concatenate(tg_tris).astype(np.float32)
+        tri_uv = np.concatenate(uv_tris).astype(np.float32)
+        tri_sign = np.concatenate(sign_tris).astype(np.float32)
+        tri_mat = np.concatenate(mat_tris)
+
+        mats = self.materials or [Material()]
+        mt = MaterialTable(
+            base_colour=jnp.asarray(np.stack([m.base_colour_factor for m in mats])),
+            emissive=jnp.asarray(np.stack([m.emissive_factor for m in mats])),
+            metallic=jnp.asarray(np.array([m.metallic_factor for m in mats], np.float32)),
+            roughness=jnp.asarray(np.array([m.roughness_factor for m in mats], np.float32)),
+            transmission=jnp.asarray(
+                np.array([m.transmission_factor for m in mats], np.float32)
+            ),
+            thin=jnp.asarray(np.array([m.thickness_factor == 0.0 for m in mats], bool)),
+            attenuation=jnp.asarray(np.stack([m.attenuation_coefficient for m in mats])),
+            ior=jnp.asarray(np.array([m.ior for m in mats], np.float32)),
+            aniso_strength=jnp.asarray(
+                np.array([m.anisotropy_strength for m in mats], np.float32)
+            ),
+            aniso_rotation=jnp.asarray(
+                np.array([m.anisotropy_rotation for m in mats], np.float32)
+            ),
+            dispersion=jnp.asarray(np.array([m.dispersion for m in mats], np.float32)),
+            tex_idx=jnp.asarray(
+                np.array(
+                    [
+                        [
+                            m.base_colour_tex,
+                            m.metallic_roughness_tex,
+                            m.normal_tex,
+                            m.emissive_tex,
+                            m.transmission_tex,
+                            m.anisotropy_tex,
+                        ]
+                        for m in mats
+                    ],
+                    np.int32,
+                )
+            ),
+        )
+
+        mode_by_mat = np.array([m.alpha_mode for m in mats], np.int32)
+        aval_by_mat = np.array([m.base_colour_factor[3] for m in mats], np.float32)
+        acut_by_mat = np.array([m.alpha_cutoff for m in mats], np.float32)
+        alpha = AlphaTables(
+            mode=jnp.asarray(mode_by_mat[tri_mat]),
+            value=jnp.asarray(aval_by_mat[tri_mat]),
+            cutoff=jnp.asarray(acut_by_mat[tri_mat]),
+        )
+        has_alpha = bool((mode_by_mat[tri_mat] != 0).any())
+
+        # emissive CDF (normalised, scene.cpp:288-292)
+        if em_heuristic:
+            h = np.concatenate(em_heuristic)
+            em_tri = np.concatenate(em_tri_ids)
+            cdf = np.cumsum(h, dtype=np.float64)
+            total = cdf[-1] if cdf[-1] > 0 else 1.0
+            cdf = (cdf / total).astype(np.float32)
+            p_delta = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
+            ev0, ev1, ev2 = v0[em_tri], v1[em_tri], v2[em_tri]
+            em_area = 0.5 * np.linalg.norm(
+                np.cross(ev1 - ev0, ev2 - ev0), axis=-1
+            ).astype(np.float32)
+            en = tri_n[em_tri]
+            ebvh = build_bvh(ev0, ev1, ev2, leaf_size=min(leaf_size, 4))
+            em_tables = EmissivePDFTables(
+                p_delta=jnp.asarray(p_delta),
+                area=jnp.asarray(em_area),
+                n0=jnp.asarray(en[:, 0]),
+                n1=jnp.asarray(en[:, 1]),
+                n2=jnp.asarray(en[:, 2]),
+            )
+            num_em = len(em_tri)
+        else:  # placeholder single degenerate row; gated off statically
+            cdf = np.ones(1, np.float32)
+            em_tri = np.zeros(1, np.int32)
+            ebvh = build_bvh(
+                np.zeros((1, 3), np.float32),
+                np.zeros((1, 3), np.float32),
+                np.zeros((1, 3), np.float32),
+                leaf_size=4,
+            )
+            em_tables = EmissivePDFTables(
+                p_delta=jnp.zeros(1),
+                area=jnp.ones(1),
+                n0=jnp.ones((1, 3)),
+                n1=jnp.ones((1, 3)),
+                n2=jnp.ones((1, 3)),
+            )
+            num_em = 0
+
+        bvh = build_bvh(v0, v1, v2, leaf_size=leaf_size)
+
+        def pad(rows, shape, dtype=np.float32):
+            if rows:
+                return jnp.asarray(np.stack(rows).astype(dtype))
+            return jnp.zeros((1,) + shape, dtype)
+
+        pls, dls = self.point_lights, self.directional_lights
+        skybox = (
+            self.skybox if self.skybox is not None else np.zeros((1, 1, 3), np.float32)
+        )
+
+        if self.textures:
+            mh = max(t.shape[0] for t in self.textures)
+            mw = max(t.shape[1] for t in self.textures)
+            stack = np.zeros((len(self.textures), mh, mw, 4), np.float32)
+            sizes = np.zeros((len(self.textures), 2), np.int32)
+            for i, t in enumerate(self.textures):
+                stack[i, : t.shape[0], : t.shape[1]] = t
+                sizes[i] = t.shape[:2]
+            tex_data, tex_size = jnp.asarray(stack), jnp.asarray(sizes)
+            has_textures = True
+        else:
+            tex_data = jnp.ones((1, 1, 1, 4), jnp.float32)
+            tex_size = jnp.ones((1, 2), jnp.int32)
+            has_textures = False
+
+        log.info(
+            "Uploaded scene: %d tris, %d materials, %d point + %d directional lights, "
+            "%d emissive tris, BVH %d nodes",
+            tri_base,
+            len(mats),
+            len(pls),
+            len(dls),
+            num_em,
+            bvh.num_nodes,
+        )
+
+        return SceneTables(
+            tri_v0=jnp.asarray(v0),
+            tri_v1=jnp.asarray(v1),
+            tri_v2=jnp.asarray(v2),
+            tri_n=jnp.asarray(tri_n),
+            tri_tg=jnp.asarray(tri_tg),
+            tri_tg_sign=jnp.asarray(tri_sign),
+            tri_uv=jnp.asarray(tri_uv),
+            tri_mat=jnp.asarray(tri_mat),
+            materials=mt,
+            alpha=alpha,
+            pl_pos=pad([l.position for l in pls], (3,)),
+            pl_colour=pad([l.colour for l in pls], (3,)),
+            pl_intensity=pad([l.intensity for l in pls], ()),
+            pl_range=pad([l.range for l in pls], ()),
+            dl_dir=pad([l.direction for l in dls], (3,)),
+            dl_colour=pad([l.colour for l in dls], (3,)),
+            dl_intensity=pad([l.intensity for l in dls], ()),
+            em_cdf=jnp.asarray(cdf),
+            em_tables=em_tables,
+            em_tri=jnp.asarray(em_tri),
+            bvh=bvh,
+            ebvh=ebvh,
+            skybox=jnp.asarray(skybox),
+            skybox_strength=jnp.float32(self.skybox_strength),
+            tex_data=tex_data,
+            tex_size=tex_size,
+            num_point=len(pls),
+            num_directional=len(dls),
+            num_emissive_tris=num_em,
+            has_alpha=has_alpha,
+            has_textures=has_textures,
+        )
