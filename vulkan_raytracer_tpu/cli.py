@@ -1,0 +1,223 @@
+"""Command-line interface mirroring the reference's CLI surface.
+
+Same flags and semantics as src/main.cpp:113-169: ``-r`` resolution,
+``-b`` max ray depth, ``-m`` model list with per-model ``-t``/``-o``/``-s``
+transform modifiers composed T*R*S (main.cpp:159-165), ``-c``/``-d`` camera
+pose, ``--skybox``/``--skybox-strength``; comma-separated vector values with
+the ``'d'`` default sentinel.  Headless additions (the reference renders
+only to a swapchain): ``--spp``, ``--output``, ``--frames``.
+
+Default scene: the built-in procedural Cornell box (the reference defaults
+to its bundled CornellBox.gltf, main.cpp:156).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .scene.builtin import cornell_box_scene, glass_sphere_scene, triangle_soup_scene
+from .scene.camera import Camera
+from .scene.gltf import quat_to_mat4
+from .scene.scenegraph import Scene
+from .utils import logging as log
+from .utils.image import load_texture, write_png
+
+DEFAULT_RESOLUTION = (800, 600)  # main.cpp:10
+DEFAULT_DEPTH = 5  # main.cpp:124
+DEFAULT_CAMERA_POS = (0.0, 1.0, 3.0)  # main.cpp:14
+DEFAULT_CAMERA_DIR = (0.0, 0.0, -1.0)  # main.cpp:15
+DEFAULT_SKYBOX = "hilly_terrain_01_4k.hdr"  # main.cpp:138
+
+BUILTIN_SCENES = {
+    "cornell": cornell_box_scene,
+    "soup": triangle_soup_scene,
+    "glass": glass_sphere_scene,
+}
+
+
+def _parse_floats(value: str, n: int, name: str, default):
+    if value == "d":
+        return np.asarray(default, np.float64)
+    parts = value.split(",")
+    if len(parts) != n:
+        raise argparse.ArgumentTypeError(
+            f"{name} - must be 'd' or provide {n} comma-separated values"
+        )
+    try:
+        return np.asarray([float(p) for p in parts], np.float64)
+    except ValueError as e:
+        raise argparse.ArgumentTypeError(f"{name} - could not parse '{value}': {e}")
+
+
+def _parse_resolution(value: str):
+    if value == "d":
+        return DEFAULT_RESOLUTION
+    parts = value.split(",")
+    if len(parts) != 2:
+        raise argparse.ArgumentTypeError(
+            "resolution - must be 'd' or provide 2 positive integers"
+        )
+    w, h = int(parts[0]), int(parts[1])
+    if w <= 0 or h <= 0:
+        raise argparse.ArgumentTypeError("resolution must be positive")
+    return w, h
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vkrt-tpu",
+        description="TPU path tracer - a glTF path tracer (JAX/Pallas).",
+    )
+    p.add_argument("-r", "--resolution", type=_parse_resolution, default=DEFAULT_RESOLUTION,
+                   help="Resolution w,h (default 800,600)")
+    p.add_argument("-b", "--max-ray-depth", type=int, default=DEFAULT_DEPTH,
+                   help="Max ray depth (default 5)")
+    p.add_argument("-m", "--models", action="append", default=None,
+                   help="glTF model file(s) or builtin scene names "
+                        f"({', '.join(BUILTIN_SCENES)})")
+    p.add_argument("-t", "--translations", action="append", default=None,
+                   metavar="X,Y,Z", help="Model translation(s); 'd' = default")
+    p.add_argument("-o", "--rotations", action="append", default=None,
+                   metavar="W,X,Y,Z", help="Model rotation quaternion(s); 'd' = default")
+    p.add_argument("-s", "--scales", action="append", default=None,
+                   metavar="X,Y,Z", help="Model scale(s); 'd' = default")
+    p.add_argument("-c", "--camera-position", default="d", metavar="X,Y,Z")
+    p.add_argument("-d", "--camera-direction", default="d", metavar="X,Y,Z")
+    p.add_argument("--skybox", nargs="?", const=DEFAULT_SKYBOX, default=None,
+                   help="Equirectangular HDR skybox file")
+    p.add_argument("--skybox-strength", type=float, default=1.0)
+    # headless extensions (no swapchain on a TPU host)
+    p.add_argument("--spp", type=int, default=64, help="Samples per pixel")
+    p.add_argument("--output", default="out.png", help="Output PNG path")
+    p.add_argument("--hdr-output", default=None, help="Optional Radiance .hdr output")
+    p.add_argument("--progressive", action="store_true",
+                   help="Progressive per-frame loop (prints per-frame timing)")
+    p.add_argument("--shard", action="store_true",
+                   help="Shard pixels over all visible devices")
+    return p
+
+
+def compose_transform(scale, rotation, translation) -> np.ndarray:
+    """T * R * S composition (main.cpp:159-165)."""
+    m = np.eye(4)
+    if scale is not None:
+        m = np.diag(list(scale) + [1.0]) @ m
+    if rotation is not None:
+        w, x, y, z = rotation
+        m = quat_to_mat4(w, x, y, z).astype(np.float64) @ m
+    if translation is not None:
+        t = np.eye(4)
+        t[:3, 3] = translation
+        m = t @ m
+    return m.astype(np.float32)
+
+
+def load_scene(args) -> Scene:
+    models = args.models or ["cornell"]
+    if any(m in BUILTIN_SCENES for m in models):
+        if len(models) > 1:
+            raise SystemExit("builtin scenes cannot be composed with other models")
+        scene = BUILTIN_SCENES[models[0]]()
+    else:
+        scene = Scene()
+        for i, model in enumerate(models):
+            transform = compose_transform(
+                _get(args.scales, i, 3, "scale", (1.0, 1.0, 1.0)),
+                _get(args.rotations, i, 4, "rotation", (1.0, 0.0, 0.0, 0.0)),
+                _get(args.translations, i, 3, "translation", (0.0, 0.0, 0.0)),
+            )
+            scene.load_model(_resolve_model(model), transform)
+    if args.skybox:
+        sky_path = _resolve_model(args.skybox, optional=True)
+        if sky_path is None:
+            log.warn("skybox %s not found; rendering without environment", args.skybox)
+        else:
+            scene.skybox = load_texture(sky_path)[..., :3]
+    scene.skybox_strength = args.skybox_strength
+    return scene
+
+
+def _get(lst, i, n, name, default):
+    if lst is None or i >= len(lst):
+        return np.asarray(default) if name != "rotation" else np.asarray(default)
+    return _parse_floats(lst[i], n, name, default)
+
+
+def _resolve_model(name: str, optional: bool = False):
+    """Search as-given, then $VKRT_RESOURCE_DIR, then ./res (the analogue of
+    the compile-time RESOURCE_DIR, CMakeLists.txt:56-61)."""
+    candidates = [Path(name)]
+    res = os.environ.get("VKRT_RESOURCE_DIR")
+    if res:
+        candidates.append(Path(res) / name)
+    candidates.append(Path("res") / name)
+    for c in candidates:
+        if c.exists():
+            return c
+    if optional:
+        return None
+    raise FileNotFoundError(f"model not found: {name} (searched {candidates})")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    width, height = args.resolution
+
+    scene = load_scene(args)
+    with log.Timer("scene upload + BVH build"):
+        tables = scene.upload()
+
+    cam_pos = _parse_floats(args.camera_position, 3, "camera-position", DEFAULT_CAMERA_POS)
+    cam_dir = _parse_floats(args.camera_direction, 3, "camera-direction", DEFAULT_CAMERA_DIR)
+    camera = Camera(position=cam_pos, direction=cam_dir, aspect=width / height)
+
+    if args.progressive:
+        from .render.renderer import Renderer
+
+        r = Renderer(tables, camera, width, height, args.max_ray_depth)
+        for i in range(args.spp + 1):  # sample 0 is the preview frame
+            t0 = time.perf_counter()
+            img8 = r.draw_frame()
+            log.info("frame %d (%.1f ms)", i, 1e3 * (time.perf_counter() - t0))
+        write_png(args.output, img8)
+        log.info("wrote %s after %d samples (%d rays)", args.output, args.spp, r.total_rays)
+        return 0
+
+    t0 = time.perf_counter()
+    if args.shard:
+        from .parallel.sharding import make_mesh, render_image_sharded
+
+        img, rays = render_image_sharded(
+            tables, camera, width, height, args.spp, args.max_ray_depth, make_mesh()
+        )
+    else:
+        from .render.renderer import render_image
+
+        img, rays = render_image(
+            tables, camera, width, height, args.spp, args.max_ray_depth
+        )
+    dt = time.perf_counter() - t0
+    log.info(
+        "rendered %dx%d @ %d spp depth %d in %.2fs - %.1f Mrays/s",
+        width, height, args.spp, args.max_ray_depth, dt, rays / dt / 1e6,
+    )
+    write_png(args.output, img)
+    log.info("wrote %s", args.output)
+    if args.hdr_output:
+        from .render.renderer import render_image as _ri
+        from .utils.image import write_hdr
+
+        hdr, _ = _ri(tables, camera, width, height, args.spp, args.max_ray_depth, tonemap=False)
+        write_hdr(args.hdr_output, hdr)
+        log.info("wrote %s", args.hdr_output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,14 +58,19 @@ _F32 = jnp.float32
 # ---------------------------------------------------------------------------
 
 
-def generate_primary_rays(view_inv, proj_inv, width, height, sample_count, n_pad=None):
-    """Camera rays for every pixel; returns (origin, direction, seed).
+def generate_primary_rays(view_inv, proj_inv, width, height, sample_count, lane_idx=None):
+    """Camera rays for the given pixel lanes; returns (origin, direction, seed).
 
     Seeds are TEA(pixelIdx, sampleCount) (raygen.rgen:33); jitter is the
     pixel centre on sample 0, else two rnd draws (raygen.rgen:34).
+    ``lane_idx`` selects a subset of pixels (used by the multi-chip
+    pixel-tile sharding); defaults to all width*height pixels.
     """
-    n = width * height if n_pad is None else n_pad
-    idx = jnp.arange(n, dtype=jnp.uint32)
+    idx = (
+        jnp.arange(width * height, dtype=jnp.uint32)
+        if lane_idx is None
+        else lane_idx.astype(jnp.uint32)
+    )
     px = (idx % jnp.uint32(width)).astype(_F32)
     py = (idx // jnp.uint32(width)).astype(_F32)
     seed = rng.tea(idx, jnp.uint32(sample_count))
@@ -87,7 +92,7 @@ def generate_primary_rays(view_inv, proj_inv, width, height, sample_count, n_pad
     direction = direction / jnp.maximum(
         jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-20
     )
-    origin = jnp.broadcast_to(view_inv[:3, 3], (n, 3))
+    origin = jnp.broadcast_to(view_inv[:3, 3], (idx.shape[0], 3))
     return origin, direction, seed
 
 
@@ -428,15 +433,18 @@ def sample_lights(tables, hit, wavelength, view_world, seed, mask):
 # ---------------------------------------------------------------------------
 
 
-def render_sample(tables, view_inv, proj_inv, width, height, sample_count, max_depth):
-    """Path-trace one sample for every pixel.
+def render_sample(
+    tables, view_inv, proj_inv, width, height, sample_count, max_depth, lane_idx=None
+):
+    """Path-trace one sample for every pixel (or the given pixel lanes).
 
-    Returns (radiance (N, 3), rays_traced ()) with N = width*height; the ray
-    counter tallies every traversal launched on an active lane (material +
-    shadow/verify + pdf probes) for the Mrays/s benchmark metric.
+    Returns (radiance (N, 3), rays_traced ()) with N = width*height (or
+    len(lane_idx)); the ray counter tallies every traversal launched on an
+    active lane (material + shadow/verify + pdf probes) for the Mrays/s
+    benchmark metric.
     """
     origin, direction, seed = generate_primary_rays(
-        view_inv, proj_inv, width, height, sample_count
+        view_inv, proj_inv, width, height, sample_count, lane_idx
     )
     n = origin.shape[0]
     alpha_tables = tables.alpha if tables.has_alpha else None
