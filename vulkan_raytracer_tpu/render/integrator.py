@@ -47,10 +47,54 @@ from ..ops.math3 import (
     to_tangent,
     vec3,
 )
+from ..ops.dense import (
+    DENSE_MAX_TRIS,
+    dense_closest,
+    dense_emissive_pdf,
+    dense_shadow,
+)
 from ..ops.texture import sample_bilinear_stack, sample_equirect
 from ..ops.traverse import trace_closest, trace_emissive_pdf, trace_shadow
 
 _F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Traversal dispatch: dense (gather-free, VPU-saturating) for small scenes,
+# threaded BVH beyond DENSE_MAX_TRIS or with stochastic BLEND alpha (which
+# needs per-intersection RNG ordering).  Static per compiled pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _dense_ok(tables) -> bool:
+    return tables.num_triangles <= DENSE_MAX_TRIS and not tables.has_blend
+
+
+def _closest(tables, o, d, *, t_min, t_max, active, seed):
+    if _dense_ok(tables):
+        return dense_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active), seed
+    alpha = tables.alpha if tables.has_alpha else None
+    return trace_closest(
+        tables.bvh, o, d, t_min=t_min, t_max=t_max, active=active, seed=seed,
+        alpha=alpha,
+    )
+
+
+def _shadow(tables, o, d, *, t_max, active, seed):
+    if _dense_ok(tables):
+        return dense_shadow(tables, o, d, t_max=t_max, active=active), seed
+    alpha = tables.alpha if tables.has_alpha else None
+    return trace_shadow(
+        tables.bvh, o, d, t_max=t_max, active=active, seed=seed, alpha=alpha
+    )
+
+
+def _emissive_pdf(tables, o, d, *, t_min, active):
+    if tables.num_emissive_tris <= 1024:
+        return dense_emissive_pdf(tables, o, d, t_min=t_min, active=active)
+    return trace_emissive_pdf(
+        tables.ebvh, tables.em_tables, o, d, t_min=t_min, active=active
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -297,9 +341,8 @@ def _sample_analytic(tables, hit, seed, mask, alpha_tables):
 
     offset = jnp.where(dot3(hit.normal, light_dir) >= 0.0, 1.0, -1.0)
     ray_o = hit.pos + (offset * BIAS)[:, None] * hit.normal
-    occluded, seed = trace_shadow(
-        tables.bvh, ray_o, light_dir, t_max=t_max, active=mask, seed=seed,
-        alpha=alpha_tables,
+    occluded, seed = _shadow(
+        tables, ray_o, light_dir, t_max=t_max, active=mask, seed=seed
     )
     radiance = jnp.where((occluded | ~mask)[:, None], 0.0, radiance)
     return radiance, light_dir, pdf, seed, jnp.sum(mask, dtype=jnp.int32)
@@ -343,22 +386,19 @@ def _sample_emissive(tables, hit, seed, mask, alpha_tables):
     # (lightsample.glsl:131) which is below f32 ulp at scene scale and
     # spuriously rejects the target triangle; we use a relative slack —
     # harmless because the hit identity is checked anyway.
-    (t_hit, tri_hit, _, _), seed = trace_closest(
-        tables.bvh,
+    (t_hit, tri_hit, _, _), seed = _closest(
+        tables,
         ray_o,
         light_dir,
         t_min=0.0,
         t_max=dist * 1.0001 + jnp.float32(1e-4),
         active=mask,
         seed=seed,
-        alpha=alpha_tables,
     )
     visible = mask & (tri_hit == scene_tri)
 
     # pdf probe over all emissive surfaces along the ray (lightsample.glsl:136)
-    pdf = trace_emissive_pdf(
-        tables.ebvh, tables.em_tables, ray_o, light_dir, t_min=0.0, active=visible
-    )
+    pdf = _emissive_pdf(tables, ray_o, light_dir, t_min=0.0, active=visible)
 
     mat_i = jnp.take(tables.tri_mat, jnp.maximum(scene_tri, 0), axis=0)
     radiance = jnp.take(tables.materials.emissive, mat_i, axis=0)
@@ -466,15 +506,14 @@ def render_sample(
         active = s["active"]
         n_active = jnp.sum(active, dtype=s["rays"].dtype)
 
-        (t, tri, u, v), seed = trace_closest(
-            tables.bvh,
+        (t, tri, u, v), seed = _closest(
+            tables,
             s["origin"],
             s["direction"],
             t_min=EPS,
             t_max=INF,
             active=active,
             seed=s["seed"],
-            alpha=alpha_tables,
         )
         hit = eval_hit(tables, s["origin"], s["direction"], t, tri, u, v)
 
@@ -484,13 +523,8 @@ def render_sample(
 
         # emissive MIS probe (raygen.rgen:67-73); miss lanes keep weight 1
         probe_mask = active & terminal & is_emissive & ~miss & (b != 0)
-        pdf_probe = trace_emissive_pdf(
-            tables.ebvh,
-            tables.em_tables,
-            s["origin"],
-            s["direction"],
-            t_min=EPS,
-            active=probe_mask,
+        pdf_probe = _emissive_pdf(
+            tables, s["origin"], s["direction"], t_min=EPS, active=probe_mask
         )
         weight = jnp.where(probe_mask, _balance(s["mat_pdf"], pdf_probe), 1.0)
         add = s["throughput"] * hit.mat.emissive * weight[:, None]

@@ -199,6 +199,7 @@ class SceneTables:
     num_directional: int = dataclasses.field(metadata=dict(static=True))
     num_emissive_tris: int = dataclasses.field(metadata=dict(static=True))
     has_alpha: bool = dataclasses.field(metadata=dict(static=True))
+    has_blend: bool = dataclasses.field(metadata=dict(static=True))
     has_textures: bool = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -562,6 +563,7 @@ class Scene:
             cutoff=jnp.asarray(acut_by_mat[tri_mat]),
         )
         has_alpha = bool((mode_by_mat[tri_mat] != 0).any())
+        has_blend = bool((mode_by_mat[tri_mat] == 2).any())
 
         # emissive CDF (normalised, scene.cpp:288-292)
         if em_heuristic:
@@ -672,5 +674,6 @@ class Scene:
             num_directional=len(dls),
             num_emissive_tris=num_em,
             has_alpha=has_alpha,
+            has_blend=has_blend,
             has_textures=has_textures,
         )
