@@ -16,6 +16,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("VKRT_LOG_LEVEL", "ERROR")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_vkrt_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np  # noqa: E402
 
@@ -34,8 +37,8 @@ def main() -> None:
     cam = Camera(
         position=np.array([0.0, 1.0, 3.9]), direction=np.array([0.0, 0.0, -1.0])
     )
-    # warm-up / compile
-    img, _ = render_image(tables, cam, WIDTH, HEIGHT, spp=1, max_depth=DEPTH)
+    # warm-up / compile (same spp so the timed call hits the compiled program)
+    img, _ = render_image(tables, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH)
     t0 = time.perf_counter()
     img, rays = render_image(tables, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH)
     dt = time.perf_counter() - t0

@@ -1,0 +1,731 @@
+"""Slow NumPy reference integrator — the "CPU reference" for RMSE.
+
+An independent re-implementation of the renderer's algorithm in plain
+NumPy float32: brute-force intersection against every triangle (no BVH, no
+chunk folds, no XLA), with the math transcribed directly from the
+reference's GLSL (shaders/bsdf.glsl, lightsample.glsl, raygen.rgen) and the
+RNG consumption following the integrator's documented canonical order
+(trace -> sample material -> NEE per bounce, select-rule conditional
+consumption).  BASELINE.md's quality metric — per-pixel RMSE at equal spp —
+is measured against this oracle; tests/test_rmse.py enforces it.
+
+Intentionally simple and slow: no performance tricks, maximum legibility,
+so disagreements between this and the XLA path localise transcription bugs.
+Isotropic-roughness subset (anisotropy strength 0 — the bundled test scenes
+have none); textures are not applied (factor-only materials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+F = np.float32
+U = np.uint32
+PI = F(np.pi)
+TWOPI = F(2 * np.pi)
+BIAS = F(1e-3)
+EPS = F(1e-7)
+INF = F(1e32)
+
+
+# ---------------------------------------------------------------------------
+# RNG (shaders/random.glsl) — vectorised uint32 lanes
+# ---------------------------------------------------------------------------
+
+
+def tea(v0, v1):
+    v0 = v0.astype(U).copy()
+    v1 = np.broadcast_to(np.asarray(v1, U), v0.shape).copy()
+    s = np.zeros_like(v0)
+    with np.errstate(over="ignore"):
+        for _ in range(16):
+            s += U(0x9E3779B9)
+            v0 += ((v1 << U(4)) + U(0xA341316C)) ^ (v1 + s) ^ ((v1 >> U(5)) + U(0xC8013EA4))
+            v1 += ((v0 << U(4)) + U(0xAD90777D)) ^ (v0 + s) ^ ((v0 >> U(5)) + U(0x7E95761E))
+    return v0
+
+
+def rnd(seed):
+    with np.errstate(over="ignore"):
+        seed = U(1664525) * seed + U(1013904223)
+    return (seed & U(0x00FFFFFF)).astype(F) / F(1 << 24), seed
+
+
+def rnd_range(seed, lo, hi):
+    u, seed = rnd(seed)
+    return F(lo) + u * (F(hi) - F(lo)), seed
+
+
+# ---------------------------------------------------------------------------
+# Vector helpers (all on (..., 3) float32)
+# ---------------------------------------------------------------------------
+
+
+def dot(a, b):
+    return np.sum(a * b, axis=-1)
+
+
+def normalize(a):
+    return a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-20)
+
+
+def reflect(i, n):
+    return i - 2.0 * dot(n, i)[..., None] * n
+
+
+def refract(i, n, eta):
+    cosi = dot(n, i)
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    out = eta[..., None] * i - (eta * cosi + np.sqrt(np.maximum(k, 0)))[..., None] * n
+    return np.where((k < 0)[..., None], 0.0, out).astype(F)
+
+
+def branchless_onb(n):
+    sgn = np.where(n[..., 2] >= 0.0, 1.0, -1.0).astype(F)
+    a = -1.0 / (sgn + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = np.stack([1.0 + sgn * n[..., 0] ** 2 * a, sgn * b, -sgn * n[..., 0]], -1)
+    bt = np.stack([b, sgn + n[..., 1] ** 2 * a, -n[..., 1]], -1)
+    return t.astype(F), bt.astype(F)
+
+
+# ---------------------------------------------------------------------------
+# Scene snapshot (host numpy copies of the device tables)
+# ---------------------------------------------------------------------------
+
+
+class OracleScene:
+    """NumPy copies of SceneTables for the oracle."""
+
+    def __init__(self, tables):
+        g = lambda x: np.asarray(x, F)
+        self.v0, self.v1, self.v2 = g(tables.tri_v0), g(tables.tri_v1), g(tables.tri_v2)
+        self.e1, self.e2 = self.v1 - self.v0, self.v2 - self.v0
+        self.tri_n = g(tables.tri_n)
+        self.tri_mat = np.asarray(tables.tri_mat)
+        m = tables.materials
+        self.base = g(m.base_colour)[:, :3]
+        self.emissive = g(m.emissive)
+        self.metallic = g(m.metallic)
+        self.rough = g(m.roughness)
+        self.transmission = g(m.transmission)
+        self.thin = np.asarray(m.thin)
+        self.atten = g(m.attenuation)
+        self.ior = g(m.ior)
+        self.dispersion = g(m.dispersion)
+        self.em_cdf = g(tables.em_cdf)
+        self.em_tri = np.asarray(tables.em_tri)
+        self.em_p = g(tables.em_tables.p_delta)
+        self.em_area = g(tables.em_tables.area)
+        self.num_emissive = tables.num_emissive_tris
+        self.num_point = tables.num_point
+        self.num_directional = tables.num_directional
+        self.pl_pos, self.pl_colour = g(tables.pl_pos), g(tables.pl_colour)
+        self.pl_intensity, self.pl_range = g(tables.pl_intensity), g(tables.pl_range)
+        self.dl_dir, self.dl_colour = g(tables.dl_dir), g(tables.dl_colour)
+        self.dl_intensity = g(tables.dl_intensity)
+        self.skybox = g(tables.skybox)
+        self.skybox_strength = F(np.asarray(tables.skybox_strength))
+
+    # brute force closest hit
+    def closest(self, o, d, t_min, t_max):
+        n = o.shape[0]
+        pvec = np.cross(d[:, None, :], self.e2[None])
+        det = np.sum(self.e1[None] * pvec, -1)
+        bad = np.abs(det) < 1e-12
+        inv = 1.0 / np.where(bad, 1.0, det)
+        tvec = o[:, None, :] - self.v0[None]
+        u = np.sum(tvec * pvec, -1) * inv
+        qvec = np.cross(tvec, self.e1[None])
+        v = np.sum(d[:, None, :] * qvec, -1) * inv
+        t = np.sum(self.e2[None] * qvec, -1) * inv
+        tm = t_max if np.ndim(t_max) else np.full(n, t_max, F)
+        hit = (~bad) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min) & (t <= tm[:, None])
+        t = np.where(hit, t, np.inf).astype(F)
+        k = np.argmin(t, 1)
+        r = np.arange(n)
+        tb = t[r, k]
+        found = np.isfinite(tb)
+        return (
+            np.where(found, tb, np.inf).astype(F),
+            np.where(found, k, -1),
+            np.where(found, u[r, k], 0).astype(F),
+            np.where(found, v[r, k], 0).astype(F),
+        )
+
+    def occluded(self, o, d, t_max):
+        t, tri, _, _ = self.closest(o, d, F(0.0), INF)
+        return (tri >= 0) & (t <= t_max)
+
+    def emissive_pdf(self, o, d, t_min):
+        """shaders/emissivepdf.rahit over emissive triangles, brute force."""
+        if self.num_emissive == 0:
+            return np.zeros(o.shape[0], F)
+        et = self.em_tri
+        ev0, ee1, ee2 = self.v0[et], self.e1[et], self.e2[et]
+        pvec = np.cross(d[:, None, :], ee2[None])
+        det = np.sum(ee1[None] * pvec, -1)
+        bad = np.abs(det) < 1e-12
+        inv = 1.0 / np.where(bad, 1.0, det)
+        tvec = o[:, None, :] - ev0[None]
+        u = np.sum(tvec * pvec, -1) * inv
+        qvec = np.cross(tvec, ee1[None])
+        v = np.sum(d[:, None, :] * qvec, -1) * inv
+        t = np.sum(ee2[None] * qvec, -1) * inv
+        hit = (~bad) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min)
+        en = self.tri_n[et]  # (Te, 3, 3)
+        w0 = (1 - u - v)[..., None]
+        nrm = w0 * en[None, :, 0] + u[..., None] * en[None, :, 1] + v[..., None] * en[None, :, 2]
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+        cos = np.abs(np.sum(nrm * d[:, None, :], -1))
+        contrib = self.em_p[None] * t * t / np.maximum(self.em_area[None] * cos, 1e-30)
+        return np.sum(np.where(hit, contrib, 0), 1).astype(F)
+
+    def sky(self, d):
+        h, w = self.skybox.shape[:2]
+        u = np.arctan2(d[:, 2], d[:, 0]) / TWOPI + 0.5
+        v = -(np.arcsin(np.clip(d[:, 1], -1, 1)) / PI + 0.5)
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0, y0 = np.floor(x), np.floor(y)
+        fx, fy = (x - x0)[:, None], (y - y0)[:, None]
+        x0i, x1i = np.mod(x0.astype(int), w), np.mod(x0.astype(int) + 1, w)
+        y0i, y1i = np.mod(y0.astype(int), h), np.mod(y0.astype(int) + 1, h)
+        top = self.skybox[y0i, x0i] * (1 - fx) + self.skybox[y0i, x1i] * fx
+        bot = self.skybox[y1i, x0i] * (1 - fx) + self.skybox[y1i, x1i] * fx
+        return ((top * (1 - fy) + bot * fy) * self.skybox_strength).astype(F)
+
+
+# ---------------------------------------------------------------------------
+# Material evaluation at a hit (hit.rchit, isotropic subset)
+# ---------------------------------------------------------------------------
+
+
+class Hit:
+    pass
+
+
+def eval_hit(sc: OracleScene, o, d, t, tri, u, v):
+    h = Hit()
+    miss = tri < 0
+    ti = np.maximum(tri, 0)
+    h.pos = (o + np.where(np.isfinite(t), t, 0)[:, None] * d).astype(F)
+    tn = sc.tri_n[ti]
+    w0 = (1 - u - v)[:, None]
+    nrm = normalize(w0 * tn[:, 0] + u[:, None] * tn[:, 1] + v[:, None] * tn[:, 2])
+    tangent, bitangent = branchless_onb(nrm)
+    view = -d
+    h.front = dot(nrm, view) >= 0
+    h.normal = np.where(h.front[:, None], nrm, -nrm).astype(F)
+    h.tangent, h.bitangent = tangent, bitangent
+    h.t = np.where(miss, -INF, t).astype(F)
+    mi = sc.tri_mat[ti]
+    h.base = sc.base[mi].copy()
+    h.emissive = np.where(miss[:, None], sc.sky(d), sc.emissive[mi]).astype(F)
+    h.metallic = sc.metallic[mi]
+    a = np.maximum(sc.rough[mi] ** 2, 0.001).astype(F)
+    h.alpha = a
+    h.transmission = sc.transmission[mi]
+    h.thin = sc.thin[mi]
+    h.atten = sc.atten[mi]
+    h.ior = sc.ior[mi]
+    h.dispersion = sc.dispersion[mi]
+    h.miss = miss
+    return h
+
+
+def to_tangent(h, v):
+    return np.stack([dot(v, h.tangent), dot(v, h.bitangent), dot(v, h.normal)], -1).astype(F)
+
+
+def from_tangent(h, v):
+    return (
+        v[..., 0:1] * h.tangent + v[..., 1:2] * h.bitangent + v[..., 2:3] * h.normal
+    ).astype(F)
+
+
+# ---------------------------------------------------------------------------
+# Isotropic GGX BSDF (shaders/bsdf.glsl, anisotropyDirection=(1,0), ax=ay)
+# ---------------------------------------------------------------------------
+
+
+def d_ggx(a, hv):
+    a2 = a * a
+    f = a2 / np.maximum(
+        (a * hv[..., 0]) ** 2 + (a * hv[..., 1]) ** 2 + (a2 * hv[..., 2]) ** 2, 1e-30
+    )
+    return a2 * f * f / PI
+
+
+def vis(a, v, l):
+    len_l = np.sqrt((a * l[..., 0]) ** 2 + (a * l[..., 1]) ** 2 + l[..., 2] ** 2)
+    len_v = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
+    den = 2 * (l[..., 2] * len_v + v[..., 2] * len_l)
+    return np.where(np.abs(den) < 1e-20, 0.0, 1.0 / np.where(den == 0, 1, den)).astype(F)
+
+
+def vis_trans(a, v, l, hv):
+    valid = (dot(hv, v) > 0) & (dot(hv, l) < 0)
+    len_l = np.sqrt((a * l[..., 0]) ** 2 + (a * l[..., 1]) ** 2 + l[..., 2] ** 2)
+    len_v = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
+    den = 2 * (-l[..., 2] * len_v + v[..., 2] * len_l)
+    out = np.where(np.abs(den) < 1e-20, 0.0, 1.0 / np.where(den == 0, 1, den))
+    return np.where(valid, out, 0.0).astype(F)
+
+
+def vis_refr(a, eta, v, l, hv):
+    hl, hv_ = dot(hv, l), dot(hv, v)
+    valid = (hv_ > 0) & (hl < 0)
+    len_l = np.sqrt((a * l[..., 0]) ** 2 + (a * l[..., 1]) ** 2 + l[..., 2] ** 2)
+    len_v = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
+    den = (eta * hv_ + hl) ** 2 * (-l[..., 2] * len_v + v[..., 2] * len_l)
+    out = np.where(np.abs(den) < 1e-30, 0.0, 2 * -hl * hv_ / np.where(den == 0, 1, den))
+    return np.where(valid, out, 0.0).astype(F)
+
+
+def fresnel(f0, c):
+    return (np.maximum(1 - c, 0) ** 5 * (1 - f0) + f0).astype(F)
+
+
+def fresnel_vh(f0, v, hv):
+    c = np.abs(dot(v, hv))
+    if np.ndim(f0) == 2:
+        c = c[..., None]
+    return fresnel(f0, c)
+
+
+def fresnel_transmission(f0, eta, vdoth):
+    s2 = eta * eta * (1 - vdoth * vdoth)
+    f_lo = fresnel(f0, vdoth)
+    f_r = fresnel(f0, np.sqrt(np.maximum(1 - s2, 0)))
+    return np.where(eta <= 1, f_lo, np.where(s2 <= 1, f_r, 1.0)).astype(F)
+
+
+def vndf_k(a, v):
+    s = 1 + np.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2)
+    s2, a2 = s * s, a * a
+    return (1 - a2) * s2 / (s2 + a2 * v[..., 2] ** 2)
+
+
+def vndf_refl_pdf(a, v, hv):
+    ndf = d_ggx(a, hv)
+    t = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
+    k = vndf_k(a, v)
+    den = 2 * (k * v[..., 2] + t)
+    return np.where(np.abs(den) < 1e-20, 0.0, ndf / np.where(den == 0, 1, den)).astype(F)
+
+
+def vndf_refr_pdf(a, eta, v, l, hv):
+    hl, hvv = dot(hv, l), dot(hv, v)
+    den = (eta * hvv + hl) ** 2
+    jac = np.where(den < 1e-30, 0.0, -hl / np.where(den == 0, 1, den))
+    ndf = d_ggx(a, hv)
+    t = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
+    k = vndf_k(a, v)
+    d2 = k * v[..., 2] + t
+    return np.where(np.abs(d2) < 1e-20, 0.0, 2 * hvv * ndf / np.where(d2 == 0, 1, d2) * jac).astype(F)
+
+
+def sample_vndf(seed, a, v):
+    vstd = normalize(np.stack([a * v[..., 0], a * v[..., 1], v[..., 2]], -1))
+    ux, seed = rnd(seed)
+    uy, seed = rnd(seed)
+    phi = TWOPI * ux
+    b = vndf_k(a, v) * vstd[..., 2]
+    z = (1 - uy) * (1 + b) - b
+    st = np.sqrt(np.clip(1 - z * z, 0, 1))
+    dstd = np.stack([st * np.cos(phi), st * np.sin(phi), z], -1).astype(F)
+    hstd = vstd + dstd
+    # NOTE the final y-flip: the reference maps back through
+    # mat2(anisoDir, anisoDir.yx*(1,-1)) which is (x, -y) for the default
+    # anisotropyDirection (1, 0) (bsdf.glsl:150,166) — a mirrored frame,
+    # harmless in distribution but sample-for-sample observable.
+    return normalize(np.stack([hstd[..., 0] * a, -(hstd[..., 1] * a), hstd[..., 2]], -1)), seed
+
+
+def sample_cosine(seed):
+    ux, seed = rnd(seed)
+    uy, seed = rnd(seed)
+    r = ux
+    x = r * np.sin(TWOPI * uy)
+    y = r * np.cos(TWOPI * uy)
+    return np.stack([x, y, 1 - (x * x + y * y)], -1).astype(F), seed
+
+
+def material_pdf(h, v, l):
+    f0 = ((h.ior - 1) / (h.ior + 1)) ** 2
+    p_t = (1 - h.metallic) * h.transmission
+    p_d = 0.5 * (1 - h.metallic)
+    eta = np.where(h.front, 1 / h.ior, h.ior).astype(F)
+    ndotl = l[..., 2]
+
+    h_thin = normalize(v + l * np.asarray([1, 1, -1], F))
+    f_thin = fresnel(f0, dot(v, h_thin))
+    pdf_thin = vndf_refl_pdf(h.alpha, v, h_thin)
+    hr = normalize(eta[..., None] * v + l)
+    hr = np.where((eta > 1)[..., None], hr, -hr)
+    f_r = fresnel_transmission(f0, eta, dot(v, hr))
+    pdf_r = vndf_refr_pdf(h.alpha, eta, v, l, hr)
+    pdf_neg = p_t * np.where(h.thin, (1 - f_thin) * pdf_thin, (1 - f_r) * pdf_r)
+
+    hh = normalize(v + l)
+    ggx = vndf_refl_pdf(h.alpha, v, hh)
+    pdf_pos = (1 - p_d) * (1 - p_t) * ggx + p_d * ndotl / PI
+    vdoth = dot(v, hh)
+    ft = np.where(h.thin, fresnel(f0, vdoth), fresnel_transmission(f0, eta, vdoth))
+    pdf_pos = pdf_pos + np.where(p_t > 0, p_t * ft * ggx, 0)
+    return np.where(ndotl < 0, pdf_neg, pdf_pos).astype(F)
+
+
+def material_bsdf(h, wavelength, v, l):
+    ior = dispersed_ior(h.ior, h.dispersion, wavelength)
+    f0 = ((ior - 1) / (ior + 1)) ** 2
+    p_t = (1 - h.metallic) * h.transmission
+    eta = np.where(h.front, 1 / ior, ior).astype(F)
+    ndotl = l[..., 2]
+    absorb = np.where(
+        (~h.thin & ~h.front)[:, None], np.exp(-h.atten * h.t[:, None]), 1.0
+    ).astype(F)
+
+    h_thin = normalize(v + l * np.asarray([1, 1, -1], F))
+    f_thin = fresnel_vh(f0, v, h_thin)
+    lobe_thin = vis_trans(h.alpha, v, l, h_thin) * d_ggx(h.alpha, h_thin)
+    hr = normalize(eta[..., None] * v + l)
+    hr = np.where((eta > 1)[..., None], hr, -hr)
+    f_r = fresnel_transmission(f0, eta, dot(v, hr))
+    lobe_r = vis_refr(h.alpha, eta, v, l, hr) * d_ggx(h.alpha, hr)
+    ft_neg = np.where(h.thin, f_thin, f_r)
+    lobe_neg = np.where(h.thin, lobe_thin, lobe_r)
+    bsdf_neg = (p_t * (1 - ft_neg))[:, None] * h.base * lobe_neg[:, None] * absorb
+
+    hh = normalize(v + l)
+    f_diel = fresnel_vh(f0, v, hh)
+    f_met = fresnel_vh(h.base, v, hh)
+    spec = vis(h.alpha, v, l) * d_ggx(h.alpha, hh)
+    diffuse = (1 - h.transmission)[:, None] * np.where(
+        (l[..., 2] > 0)[:, None], h.base / PI, 0
+    )
+    diel = diffuse * (1 - f_diel[:, None]) + spec[:, None] * f_diel[:, None]
+    base = diel * (1 - h.metallic[:, None]) + f_met * (spec * h.metallic)[:, None]
+    base = np.where((p_t < 1)[:, None], base, 0)
+    vdoth = dot(v, hh)
+    ftp = np.where(h.thin, fresnel(f0, vdoth), fresnel_transmission(f0, eta, vdoth))
+    tpos = (p_t * ftp)[:, None] * h.base * spec[:, None] * absorb
+    bsdf_pos = base + np.where((p_t > 0)[:, None], tpos, 0)
+    out = np.where((ndotl < 0)[:, None], bsdf_neg, np.where((ndotl > 0)[:, None], bsdf_pos, 0))
+    return out.astype(F)
+
+
+def dispersed_ior(ior, dispersion, wl):
+    wl2 = np.maximum(wl * wl, 1e-20)
+    adj = np.maximum(ior + (ior - 1) * dispersion / 20 * (523655.0 / wl2 - 1.5168), 1.0)
+    return np.where((dispersion != 0) & (wl > 0), adj, ior).astype(F)
+
+
+def spectral_1931(wl):
+    def g(w, mu, lo, hi):
+        t = (w - mu) * np.where(w < mu, lo, hi)
+        return np.exp(-0.5 * t * t)
+
+    x = 0.362 * g(wl, 442.0, 0.0624, 0.0374) + 1.056 * g(wl, 599.8, 0.0264, 0.0323) - 0.065 * g(wl, 501.1, 0.0490, 0.0382)
+    y = 0.821 * g(wl, 568.8, 0.0213, 0.0247) + 0.286 * g(wl, 530.9, 0.0613, 0.0322)
+    z = 1.217 * g(wl, 437.0, 0.0845, 0.0278) + 0.681 * g(wl, 459.0, 0.0385, 0.0725)
+    m = np.array(
+        [
+            [2.364613, -0.896541, -0.468073],
+            [-0.5151166, 1.426408, 0.088758],
+            [0.005203, -0.014408, 1.009204],
+        ],
+        F,
+    )
+    return np.stack([x, y, z], -1).astype(F) @ m.T
+
+
+def sample_material(seed, h, wavelength, view):
+    needs = (h.dispersion != 0) & (wavelength == 0)
+    wl_new, seed_c = rnd_range(seed, 400.0, 700.0)
+    wavelength = np.where(needs, wl_new, wavelength).astype(F)
+    seed = np.where(needs, seed_c, seed)
+    base = np.where(needs[:, None], h.base * spectral_1931(wavelength), h.base).astype(F)
+    ior = dispersed_ior(h.ior, h.dispersion, wavelength)
+    f0 = ((ior - 1) / (ior + 1)) ** 2
+    p_t = (1 - h.metallic) * h.transmission
+    p_d = 0.5 * (1 - h.metallic)
+    eta = np.where(h.front, 1 / ior, ior).astype(F)
+
+    u_lobe, seed = rnd(seed)
+    take_t = u_lobe < p_t
+
+    # transmission branch
+    h_t, seed_t = sample_vndf(seed, h.alpha, view)
+    f_thin = fresnel_vh(f0, view, h_t)
+    d_thin_r = reflect(-view, h_t)
+    thin_fail = d_thin_r[..., 2] < 0
+    pdf_thin = vndf_refl_pdf(h.alpha, view, h_t)
+    u_flip, seed_tf = rnd(seed_t)
+    d_thin = np.where((u_flip > f_thin)[:, None], d_thin_r * np.asarray([1, 1, -1], F), d_thin_r)
+    seed_thin = np.where(thin_fail, seed_t, seed_tf)
+
+    vdoth = dot(view, h_t)
+    f_vol = fresnel_transmission(f0, eta, vdoth)
+    u_f, seed_v = rnd(seed_t)
+    refl = u_f < f_vol
+    d_refl = reflect(-view, h_t)
+    d_refr = refract(-view, h_t, eta)
+    d_vol = np.where(refl[:, None], d_refl, d_refr)
+    pdf_vol = np.where(
+        refl, vndf_refl_pdf(h.alpha, view, h_t), vndf_refr_pdf(h.alpha, eta, view, d_refr, h_t)
+    )
+    vol_fail = np.where(refl, d_vol[..., 2] < 0, d_vol[..., 2] > 0)
+
+    d_trans = np.where(h.thin[:, None], d_thin, d_vol)
+    pdf_g_t = np.where(h.thin, pdf_thin, pdf_vol)
+    fail_t = np.where(h.thin, thin_fail, vol_fail)
+    seed_trans = np.where(h.thin, seed_thin, seed_v)
+    ft_t = np.where(h.thin, f_thin, f_vol)
+
+    # reflection branch
+    u_d, seed_r = rnd(seed)
+    is_d = u_d < p_d
+    d_cos, seed_cos = sample_cosine(seed_r)
+    h_cos = normalize(view + d_cos)
+    h_v, seed_vn = sample_vndf(seed_r, h.alpha, view)
+    d_vn = reflect(-view, h_v)
+    d_r = np.where(is_d[:, None], d_cos, d_vn)
+    h_r = np.where(is_d[:, None], h_cos, h_v)
+    seed_refl = np.where(is_d, seed_cos, seed_vn)
+    fail_r = d_r[..., 2] < 0
+    pdf_g_r = vndf_refl_pdf(h.alpha, view, h_r)
+    vd_r = dot(view, h_r)
+    ft_r = np.where(
+        h.thin | (eta <= 1), fresnel(f0, vd_r), fresnel_transmission(f0, eta, vd_r)
+    )
+
+    direction = np.where(take_t[:, None], d_trans, d_r)
+    hw = np.where(take_t[:, None], h_t, h_r)
+    pdf_g = np.where(take_t, pdf_g_t, pdf_g_r)
+    fail = np.where(take_t, fail_t, fail_r)
+    seed = np.where(take_t, seed_trans, seed_refl)
+    ft = np.where(take_t, ft_t, ft_r)
+    ndotl = direction[..., 2]
+
+    f_diel = fresnel_vh(f0, view, hw)
+    f_met = fresnel_vh(base, view, hw)
+    absorb = np.where((~h.thin & ~h.front)[:, None], np.exp(-h.atten * h.t[:, None]), 1.0)
+
+    lobe_neg = np.where(
+        h.thin,
+        vis_trans(h.alpha, view, direction, hw) * d_ggx(h.alpha, hw),
+        vis_refr(h.alpha, eta, view, direction, hw) * d_ggx(h.alpha, hw),
+    )
+    bsdf_neg = (p_t * (1 - ft))[:, None] * base * lobe_neg[:, None] * absorb
+    pdf_neg = p_t * (1 - ft) * pdf_g
+
+    spec = vis(h.alpha, view, direction) * d_ggx(h.alpha, hw)
+    diffuse = (1 - h.transmission)[:, None] * np.where(
+        (ndotl > 0)[:, None], base / PI, 0
+    )
+    diel = diffuse * (1 - f_diel[:, None]) + spec[:, None] * f_diel[:, None]
+    b0 = diel * (1 - h.metallic[:, None]) + f_met * (spec * h.metallic)[:, None]
+    bsdf_pos = np.where((p_t < 1)[:, None], b0, 0)
+    pdf_pos = np.where(p_t < 1, (1 - p_d) * (1 - p_t) * pdf_g + p_d * ndotl / PI, 0)
+    tpos = (p_t * ft)[:, None] * base * spec[:, None] * absorb
+    bsdf_pos = bsdf_pos + np.where((p_t > 0)[:, None], tpos, 0)
+    pdf_pos = pdf_pos + np.where(p_t > 0, p_t * ft * pdf_g, 0)
+
+    neg = ndotl < 0
+    bsdf = np.where(neg[:, None], bsdf_neg, bsdf_pos)
+    pdf = np.where(neg, pdf_neg, pdf_pos).astype(F)
+    ok = ~fail
+    direction = np.where(ok[:, None], direction, 0).astype(F)
+    zero = np.all(bsdf == 0, -1) | (pdf <= 0)
+    est = np.where(
+        (ok & ~zero)[:, None],
+        bsdf / np.where(pdf == 0, 1, pdf)[:, None] * np.abs(ndotl)[:, None],
+        0,
+    ).astype(F)
+    pdf = np.where(ok, pdf, 0).astype(F)
+    return direction, est, pdf, wavelength, seed
+
+
+# ---------------------------------------------------------------------------
+# NEE (shaders/lightsample.glsl)
+# ---------------------------------------------------------------------------
+
+
+def sample_lights(sc, h, wavelength, view_world, seed, mask):
+    n = h.pos.shape[0]
+    has_a = sc.num_point + sc.num_directional > 0
+    has_e = sc.num_emissive > 0
+    if not has_a and not has_e:
+        return np.zeros((n, 3), F), seed
+    if has_a:
+        u, s2 = rnd(seed)
+        seed = np.where(mask, s2, seed)
+        pick_a = (u < 0.5) | (not has_e)
+    else:
+        pick_a = np.zeros(n, bool)
+
+    radiance = np.zeros((n, 3), F)
+    ldir = np.zeros((n, 3), F)
+    pdf = np.zeros(n, F)
+
+    if has_a:
+        pf = 1.0 / ((sc.num_point > 0) + (sc.num_directional > 0))
+        m = mask & pick_a
+        pick_p = np.zeros(n, bool)
+        if sc.num_point > 0:
+            u, s2 = rnd(seed)
+            seed = np.where(m, s2, seed)
+            pick_p = (u < 0.5) | (sc.num_directional == 0)
+        with np.errstate(over="ignore"):
+            bits = (U(1664525) * seed + U(1013904223)) & U(0xFFFFFF)
+            s_idx = U(1664525) * seed + U(1013904223)
+        lo = np.where(pick_p, 0, sc.num_point)
+        hi = np.where(pick_p, max(sc.num_point - 1, 0), sc.num_point + sc.num_directional - 1)
+        idx = (bits % np.maximum(hi - lo + 1, 1).astype(U)).astype(np.int64) + lo
+        seed = np.where(m, s_idx, seed)
+        pi_ = np.clip(idx, 0, max(sc.num_point - 1, 0))
+        ray = sc.pl_pos[pi_] - h.pos
+        dist = np.maximum(np.linalg.norm(ray, axis=-1), 1e-15)
+        dp = ray / dist[:, None]
+        att = np.where(
+            sc.pl_range[pi_] == 0,
+            1.0,
+            np.maximum(1 - (dist / np.maximum(sc.pl_range[pi_], 1e-20)) ** 4, 0),
+        )
+        att = np.minimum(att / (dist * dist), 1.0)
+        rad_p = sc.pl_colour[pi_] * (sc.pl_intensity[pi_] * att)[:, None]
+        di = np.clip(idx - sc.num_point, 0, max(sc.num_directional - 1, 0))
+        dd = -sc.dl_dir[di]
+        rad_d = sc.dl_colour[di] * sc.dl_intensity[di][:, None]
+        l = np.where(pick_p[:, None], dp, dd).astype(F)
+        rad = np.where(pick_p[:, None], rad_p, rad_d).astype(F)
+        pdf_a = np.where(pick_p, pf / max(sc.num_point, 1), pf / max(sc.num_directional, 1)).astype(F)
+        tmax = np.where(pick_p, dist, INF).astype(F)
+        off = np.where(dot(h.normal, l) >= 0, 1.0, -1.0).astype(F)
+        ro = h.pos + (off * BIAS)[:, None] * h.normal
+        occ = sc.occluded(ro, l, tmax)
+        rad = np.where((occ | ~m)[:, None], 0, rad)
+        radiance = np.where(pick_a[:, None], rad, radiance)
+        ldir = np.where(pick_a[:, None], l, ldir)
+        pdf = np.where(pick_a, pdf_a, pdf)
+
+    if has_e:
+        m = mask & ~pick_a
+        u, s2 = rnd(seed)
+        seed = np.where(m, s2, seed)
+        te = np.clip(np.searchsorted(sc.em_cdf, u, side="left"), 0, sc.num_emissive - 1)
+        st = sc.em_tri[te]
+        ux, s2 = rnd(seed)
+        uy, s3 = rnd(s2)
+        seed = np.where(m, s3, seed)
+        fold = ux + uy > 1
+        ux = np.where(fold, 1 - ux, ux)
+        uy = np.where(fold, 1 - uy, uy)
+        point = sc.v0[st] * ux[:, None] + sc.v1[st] * uy[:, None] + sc.v2[st] * (1 - ux - uy)[:, None]
+        ray = point - h.pos
+        dist = np.maximum(np.linalg.norm(ray, axis=-1), 1e-15).astype(F)
+        l = (ray / dist[:, None]).astype(F)
+        off = np.where(dot(h.normal, l) >= 0, 1.0, -1.0).astype(F)
+        ro = (h.pos + (off * BIAS)[:, None] * h.normal).astype(F)
+        t_hit, tri_hit, _, _ = sc.closest(ro, l, F(0.0), dist * F(1.0001) + F(1e-4))
+        visible = m & (tri_hit == st)
+        pdf_e = sc.emissive_pdf(ro, l, F(0.0))
+        rad_e = np.where(visible[:, None], sc.emissive[sc.tri_mat[st]], 0).astype(F)
+        radiance = np.where(pick_a[:, None], radiance, rad_e)
+        ldir = np.where(pick_a[:, None], ldir, l)
+        pdf = np.where(pick_a, pdf, pdf_e)
+
+    got = np.any(radiance != 0, -1) & mask
+    pdf = pdf / F(max(1, int(has_a) + int(has_e)))
+    tv = to_tangent(h, view_world)
+    tl = to_tangent(h, ldir)
+    bsdf = material_bsdf(h, wavelength, tv, tl)
+    mis = np.where(pick_a, 1.0, pdf / np.maximum(pdf + material_pdf(h, tv, tl), 1e-30))
+    scale = mis * np.abs(dot(h.normal, ldir)) / np.maximum(pdf, 1e-30)
+    contrib = radiance * bsdf * scale[:, None]
+    zero = np.all(bsdf == 0, -1)
+    return np.where((got & ~zero)[:, None], contrib, 0).astype(F), seed
+
+
+# ---------------------------------------------------------------------------
+# Full sample (raygen.rgen, canonical order: trace -> sample -> NEE)
+# ---------------------------------------------------------------------------
+
+
+def render_sample(tables, view_inv, proj_inv, width, height, sample_count, max_depth):
+    sc = tables if isinstance(tables, OracleScene) else OracleScene(tables)
+    n = width * height
+    idx = np.arange(n, dtype=U)
+    px = (idx % U(width)).astype(F)
+    py = (idx // U(width)).astype(F)
+    seed = tea(idx, U(sample_count))
+    jx, s1 = rnd(seed)
+    jy, s2 = rnd(s1)
+    if sample_count == 0:
+        jx = np.full(n, 0.5, F)
+        jy = np.full(n, 0.5, F)
+    else:
+        seed = s2
+    u = (px + jx) / F(width) * 2 - 1
+    v = -((py + jy) / F(height) * 2 - 1)
+    vi = np.asarray(view_inv, F)
+    pi_ = np.asarray(proj_inv, F)
+    ndc = np.stack([u, v, np.ones_like(u), np.ones_like(u)], -1)
+    target = normalize(ndc @ pi_[:3].T)
+    direction = normalize(target @ vi[:3, :3].T)
+    origin = np.broadcast_to(vi[:3, 3], (n, 3)).astype(F).copy()
+
+    value = np.zeros((n, 3), F)
+    throughput = np.ones((n, 3), F)
+    wavelength = np.zeros(n, F)
+    mat_pdf = np.ones(n, F)
+    active = np.ones(n, bool)
+    preview = sample_count == 0
+
+    for b in range(max_depth + 1):
+        t, tri, uu, vv = sc.closest(origin, direction, EPS, INF)
+        t = np.where(active, t, np.inf)
+        tri = np.where(active, tri, -1)
+        h = eval_hit(sc, origin, direction, t, tri, uu, vv)
+        miss = tri < 0
+        is_em = np.any(h.emissive != 0, -1)
+        terminal = miss | is_em | (b == max_depth) | (preview and b == 1)
+        probe_m = active & terminal & is_em & ~miss & (b != 0)
+        pdf_probe = sc.emissive_pdf(origin, direction, EPS)
+        weight = np.where(probe_m, mat_pdf / np.maximum(mat_pdf + pdf_probe, 1e-30), 1.0)
+        value += np.where((active & terminal)[:, None], throughput * h.emissive * weight[:, None], 0)
+        cont = active & ~terminal
+
+        view = -direction
+        tview = to_tangent(h, view)
+        d_t, est, pdf_m, wl2, seed_m = sample_material(seed, h, wavelength, tview)
+        seed = np.where(cont, seed_m, seed)
+        wavelength = np.where(cont, wl2, wavelength).astype(F)
+        nd = from_tangent(h, d_t)
+        throughput = np.where(cont[:, None], throughput * est, throughput)
+        mat_pdf = np.where(cont, pdf_m, mat_pdf).astype(F)
+        alive = cont & np.any(throughput != 0, -1)
+        offs = np.where(dot(h.normal, nd) >= 0, 1.0, -1.0).astype(F)
+        origin = np.where(cont[:, None], h.pos + (offs * BIAS)[:, None] * h.normal, origin).astype(F)
+        direction = np.where(cont[:, None], nd, direction).astype(F)
+
+        light, seed = sample_lights(sc, h, wavelength, view, seed, alive)
+        value += np.where(alive[:, None], throughput * light, 0)
+        active = alive
+        if not active.any():
+            break
+    return value
+
+
+def render_image(tables, camera, width, height, spp, max_depth, start_sample=1):
+    """Oracle batch render (linear radiance, no tonemap)."""
+    sc = OracleScene(tables)
+    camera.aspect = width / height
+    vi = camera.view_inverse()
+    pi_ = camera.projection_inverse()
+    acc = np.zeros((width * height, 3), F)
+    for s in range(start_sample, start_sample + spp):
+        acc += render_sample(sc, vi, pi_, width, height, s, max_depth)
+    return (acc / F(spp)).reshape(height, width, 3)
