@@ -47,7 +47,7 @@ def test_cornell_world_transform(cornell):
     """The root node carries a 90-degree X rotation (CornellBox.gltf node 0);
     the box must be y-up in world space, ~2 units tall."""
     _, t = cornell
-    v = np.asarray(t.tri_v0)
+    v = np.stack([np.asarray(t.v0.x), np.asarray(t.v0.y), np.asarray(t.v0.z)], -1)
     assert v[:, 1].min() > -1e-3 and 1.9 < v[:, 1].max() < 2.1
     assert abs(v[:, 0]).max() < 1.2
 

@@ -7,6 +7,10 @@ integrator builds the frame from hit.rchit's TBN).  GLSL branches become
 ``jnp.where`` selects; every divide/sqrt is guarded so masked lanes never
 poison the wavefront with NaNs.
 
+Vectors use the component form :class:`vulkan_raytracer_tpu.ops.math3.V3`
+(three (N,) lane arrays): a trailing dim of 3 would sit on the 128-wide
+VPU lane axis at 2.3% utilisation, component arrays run at VPU peak.
+
 Branch-dependent RNG consumption in ``sample_material`` follows the select
 rule (see :mod:`vulkan_raytracer_tpu.ops.rng`): each lane's stream advances
 exactly as a scalar interpreter of shaders/bsdf.glsl:312-441 would.
@@ -28,15 +32,11 @@ import jax.numpy as jnp
 
 from . import rng
 from .math3 import (
-    INV_LAMBDA_C_SQ,
-    INV_LAMBDA_D_SQ,
-    INV_LAMBDA_F_SQ,
     PIINV,
     TWOPI,
-    dot3,
-    reflect,
-    refract,
-    vec3,
+    V3,
+    v3_reflect,
+    v3_refract,
 )
 from .spectral import spectral_colour_1931
 
@@ -47,24 +47,22 @@ def _safe_div(a, b):
     return a / jnp.where(jnp.abs(b) < _TINY, jnp.where(b < 0, -_TINY, _TINY), b)
 
 
-def _safe_normalize(v):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _TINY)
-
-
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HitMaterial:
     """Evaluated material at a hit (shaders/hit.glsl:4-14), SoA over lanes."""
 
-    base_colour: jax.Array  # (N, 3)
-    emissive: jax.Array  # (N, 3)
+    base_colour: V3  # rgb
+    emissive: V3  # rgb
     metallic: jax.Array  # (N,)
-    alpha: jax.Array  # (N, 2) roughness^2, >= 0.001 (hit.rchit:94-95)
-    aniso_dir: jax.Array  # (N, 2) (cos r, sin r) (hit.rchit:110)
+    alpha_x: jax.Array  # (N,) roughness^2 (+aniso widening), >= 0.001
+    alpha_y: jax.Array  # (N,)
+    ad_x: jax.Array  # (N,) anisotropy direction cos(rot) (hit.rchit:110)
+    ad_y: jax.Array  # (N,) sin(rot)
     transmission: jax.Array  # (N,)
     ior: jax.Array  # (N,)
     thin: jax.Array  # (N,) bool (thicknessFactor == 0, hit.rchit:98)
-    attenuation: jax.Array  # (N, 3) Beer-Lambert sigma
+    attenuation: V3  # Beer-Lambert sigma rgb
     dispersion: jax.Array  # (N,)
 
 
@@ -73,10 +71,10 @@ class HitMaterial:
 class HitInfo:
     """Hit geometry + material (shaders/hit.glsl:16-20), SoA over lanes."""
 
-    pos: jax.Array  # (N, 3) world
-    normal: jax.Array  # (N, 3) world shading normal (front-face flipped)
-    tangent: jax.Array  # (N, 3)
-    bitangent: jax.Array  # (N, 3)
+    pos: V3  # world
+    normal: V3  # world shading normal (front-face flipped)
+    tangent: V3
+    bitangent: V3
     t: jax.Array  # (N,) ray t; -INF encodes miss (skybox.rmiss:27)
     front_face: jax.Array  # (N,) bool
     mat: HitMaterial
@@ -87,85 +85,69 @@ class HitInfo:
 # ---------------------------------------------------------------------------
 
 
-def _aniso2(a, v2):
-    """mat2(anisoDir, anisoDir.yx*(1,-1)) * v — symmetric, self-inverse-ish."""
-    ax, ay = a[..., 0], a[..., 1]
-    return jnp.stack(
-        [ax * v2[..., 0] + ay * v2[..., 1], ay * v2[..., 0] - ax * v2[..., 1]],
-        axis=-1,
-    )
+def _aniso2(adx, ady, vx, vy):
+    """mat2(anisoDir, anisoDir.yx*(1,-1)) * v (symmetric)."""
+    return adx * vx + ady * vy, ady * vx - adx * vy
 
 
-def diffuse_brdf(colour, l):
+def diffuse_brdf(colour: V3, l: V3) -> V3:
     """Lambert, zero below the horizon (bsdf.glsl:8-10)."""
-    return jnp.where(l[..., 2:3] > 0.0, colour * PIINV, 0.0)
+    gate = jnp.where(l.z > 0.0, PIINV, 0.0)
+    return colour * gate
 
 
-def d_ggx(alpha, aniso_dir, h):
+def d_ggx(m: HitMaterial, h: V3):
     """Anisotropic GGX NDF (bsdf.glsl:12-22)."""
-    alpha_sq = alpha[..., 0] * alpha[..., 1]
-    ndoth = h[..., 2]
-    hdot_t = h[..., 0] * aniso_dir[..., 0] + h[..., 1] * aniso_dir[..., 1]
-    hdot_b = h[..., 0] * aniso_dir[..., 1] - h[..., 1] * aniso_dir[..., 0]
-    f = vec3(alpha[..., 1] * hdot_t, alpha[..., 0] * hdot_b, alpha_sq * ndoth)
-    w_sq = _safe_div(alpha_sq, dot3(f, f))
+    alpha_sq = m.alpha_x * m.alpha_y
+    ht, hb = _aniso2(m.ad_x, m.ad_y, h.x, h.y)
+    f_sq = (m.alpha_y * ht) ** 2 + (m.alpha_x * hb) ** 2 + (alpha_sq * h.z) ** 2
+    w_sq = _safe_div(alpha_sq, f_sq)
     return alpha_sq * w_sq * w_sq * PIINV
 
 
-def _smith_lengths(alpha, aniso_dir, v, l):
-    vdot_t = v[..., 0] * aniso_dir[..., 0] + v[..., 1] * aniso_dir[..., 1]
-    vdot_b = v[..., 0] * aniso_dir[..., 1] - v[..., 1] * aniso_dir[..., 0]
-    ldot_t = l[..., 0] * aniso_dir[..., 0] + l[..., 1] * aniso_dir[..., 1]
-    ldot_b = l[..., 0] * aniso_dir[..., 1] - l[..., 1] * aniso_dir[..., 0]
-    len_l = jnp.sqrt(
-        (alpha[..., 0] * ldot_t) ** 2 + (alpha[..., 1] * ldot_b) ** 2 + l[..., 2] ** 2
-    )
-    len_v = jnp.sqrt(
-        (alpha[..., 0] * vdot_t) ** 2 + (alpha[..., 1] * vdot_b) ** 2 + v[..., 2] ** 2
-    )
+def _smith_lengths(m: HitMaterial, v: V3, l: V3):
+    vt, vb = _aniso2(m.ad_x, m.ad_y, v.x, v.y)
+    lt, lb = _aniso2(m.ad_x, m.ad_y, l.x, l.y)
+    len_l = jnp.sqrt((m.alpha_x * lt) ** 2 + (m.alpha_y * lb) ** 2 + l.z * l.z)
+    len_v = jnp.sqrt((m.alpha_x * vt) ** 2 + (m.alpha_y * vb) ** 2 + v.z * v.z)
     return len_l, len_v
 
 
-def visibility(alpha, aniso_dir, v, l):
+def visibility(m, v: V3, l: V3):
     """Height-correlated Smith visibility for reflection (bsdf.glsl:24-35)."""
-    len_l, len_v = _smith_lengths(alpha, aniso_dir, v, l)
-    shadowing = v[..., 2] * len_l
-    masking = l[..., 2] * len_v
-    return _safe_div(jnp.ones_like(masking), 2.0 * (masking + shadowing))
+    len_l, len_v = _smith_lengths(m, v, l)
+    return _safe_div(jnp.float32(1.0), 2.0 * (l.z * len_v + v.z * len_l))
 
 
-def transmission_visibility(alpha, aniso_dir, v, l, h):
-    """Thin-transmission visibility (bsdf.glsl:37-56); 0 outside HdotV>0>HdotL."""
-    valid = (dot3(h, v) > 0.0) & (dot3(h, l) < 0.0)
-    len_l, len_v = _smith_lengths(alpha, aniso_dir, v, l)
-    shadowing = v[..., 2] * len_l
-    masking = -l[..., 2] * len_v
-    return jnp.where(valid, _safe_div(jnp.ones_like(masking), 2.0 * (masking + shadowing)), 0.0)
-
-
-def refraction_visibility(alpha, aniso_dir, eta, v, l, h):
-    """Refractive visibility incl. the eta Jacobian (bsdf.glsl:58-80)."""
-    hdotl = dot3(h, l)
-    hdotv = dot3(h, v)
-    valid = (hdotv > 0.0) & (hdotl < 0.0)
-    len_l, len_v = _smith_lengths(alpha, aniso_dir, v, l)
-    shadowing = v[..., 2] * len_l
-    masking = -l[..., 2] * len_v
-    denom = (eta * hdotv + hdotl) ** 2
-    out = _safe_div(2.0 * -hdotl * hdotv, denom * (masking + shadowing))
+def transmission_visibility(m, v: V3, l: V3, h: V3):
+    """Thin-transmission visibility (bsdf.glsl:37-56)."""
+    valid = (h.dot(v) > 0.0) & (h.dot(l) < 0.0)
+    len_l, len_v = _smith_lengths(m, v, l)
+    out = _safe_div(jnp.float32(1.0), 2.0 * (-l.z * len_v + v.z * len_l))
     return jnp.where(valid, out, 0.0)
 
 
-def specular_brdf(alpha, aniso_dir, v, l, h):
-    return visibility(alpha, aniso_dir, v, l) * d_ggx(alpha, aniso_dir, h)
+def refraction_visibility(m, eta, v: V3, l: V3, h: V3):
+    """Refractive visibility incl. the eta Jacobian (bsdf.glsl:58-80)."""
+    hdotl = h.dot(l)
+    hdotv = h.dot(v)
+    valid = (hdotv > 0.0) & (hdotl < 0.0)
+    len_l, len_v = _smith_lengths(m, v, l)
+    denom = (eta * hdotv + hdotl) ** 2
+    out = _safe_div(2.0 * -hdotl * hdotv, denom * (-l.z * len_v + v.z * len_l))
+    return jnp.where(valid, out, 0.0)
 
 
-def specular_btdf(alpha, aniso_dir, v, l, h):
-    return transmission_visibility(alpha, aniso_dir, v, l, h) * d_ggx(alpha, aniso_dir, h)
+def specular_brdf(m, v, l, h):
+    return visibility(m, v, l) * d_ggx(m, h)
 
 
-def refractive_btdf(alpha, aniso_dir, eta, v, l, h):
-    return refraction_visibility(alpha, aniso_dir, eta, v, l, h) * d_ggx(alpha, aniso_dir, h)
+def specular_btdf(m, v, l, h):
+    return transmission_visibility(m, v, l, h) * d_ggx(m, h)
+
+
+def refractive_btdf(m, eta, v, l, h):
+    return refraction_visibility(m, eta, v, l, h) * d_ggx(m, h)
 
 
 def fresnel_schlick(f0, costheta):
@@ -174,24 +156,26 @@ def fresnel_schlick(f0, costheta):
     return p * (1.0 - f0) + f0
 
 
-def fresnel_schlick_vh(f0, v, h):
-    """Schlick with |V.H| (bsdf.glsl:102-110); f0 may be (N,) or (N,3)."""
-    c = jnp.abs(dot3(v, h))
-    if jnp.ndim(f0) and f0.shape[-1:] == (3,):
-        c = c[..., None]
-    return fresnel_schlick(f0, c)
+def fresnel_schlick_vh(f0, v: V3, h: V3):
+    """Schlick with |V.H| (bsdf.glsl:102-110); scalar f0."""
+    return fresnel_schlick(f0, jnp.abs(v.dot(h)))
+
+
+def fresnel_schlick_vh3(f0: V3, v: V3, h: V3) -> V3:
+    """Schlick with |V.H| and rgb f0 (metals, bsdf.glsl:107-110)."""
+    c = jnp.abs(v.dot(h))
+    p = jnp.maximum(1.0 - c, 0.0) ** 5
+    return V3(
+        p * (1.0 - f0.x) + f0.x, p * (1.0 - f0.y) + f0.y, p * (1.0 - f0.z) + f0.z
+    )
 
 
 def fresnel_transmission(f0d, eta, vdoth):
-    """The three-way transmission Fresnel used throughout sampleMaterial /
-    materialPDF / materialBSDF (bsdf.glsl:358-364 etc.): below critical
-    angle uses the refracted angle, above returns 1 (TIR)."""
+    """Three-way transmission Fresnel (bsdf.glsl:358-364 et al.)."""
     sin_sq_out = eta * eta * (1.0 - vdoth * vdoth)
     f_below = fresnel_schlick(f0d, vdoth)
     f_refr = fresnel_schlick(f0d, jnp.sqrt(jnp.maximum(1.0 - sin_sq_out, 0.0)))
-    return jnp.where(
-        eta <= 1.0, f_below, jnp.where(sin_sq_out <= 1.0, f_refr, 1.0)
-    )
+    return jnp.where(eta <= 1.0, f_below, jnp.where(sin_sq_out <= 1.0, f_refr, 1.0))
 
 
 # ---------------------------------------------------------------------------
@@ -199,69 +183,65 @@ def fresnel_transmission(f0d, eta, vdoth):
 # ---------------------------------------------------------------------------
 
 
-def _bounded_k(alpha, view):
-    s = 1.0 + jnp.sqrt(view[..., 0] ** 2 + view[..., 1] ** 2)
-    a = jnp.minimum(alpha[..., 0], alpha[..., 1])
+def _bounded_k_raw(m, view: V3):
+    """k with s from the RAW view.xy (bsdf.glsl:155-158, sampler variant)."""
+    s = 1.0 + jnp.sqrt(view.x * view.x + view.y * view.y)
+    a = jnp.minimum(m.alpha_x, m.alpha_y)
     a_sq, s_sq = a * a, s * s
-    return (1.0 - a_sq) * s_sq / (s_sq + a_sq * view[..., 2] ** 2)
+    return (1.0 - a_sq) * s_sq / (s_sq + a_sq * view.z * view.z)
 
 
-def ggx_vndf_reflection_pdf(alpha, aniso_dir, view, halfway):
-    """bsdf.glsl:112-124 (note: k/s use the reference's exact mix of
-    anisotropic-space and raw view components)."""
-    ndf = d_ggx(alpha, aniso_dir, halfway)
-    ani_view = _aniso2(aniso_dir, view[..., :2])
-    ai = alpha * ani_view
-    t = jnp.sqrt(dot3(vec3(ai[..., 0], ai[..., 1], view[..., 2]), vec3(ai[..., 0], ai[..., 1], view[..., 2])))
-    s = 1.0 + jnp.sqrt(ani_view[..., 0] ** 2 + ani_view[..., 1] ** 2)
-    a = jnp.minimum(alpha[..., 0], alpha[..., 1])
+def _bounded_k_ani(m, ani_x, ani_y, view_z):
+    """k with s from the aniso-space view.xy (bsdf.glsl:119-122, pdf variant)."""
+    s = 1.0 + jnp.sqrt(ani_x * ani_x + ani_y * ani_y)
+    a = jnp.minimum(m.alpha_x, m.alpha_y)
     a_sq, s_sq = a * a, s * s
-    k = (1.0 - a_sq) * s_sq / (s_sq + a_sq * view[..., 2] ** 2)
-    return _safe_div(ndf, 2.0 * (k * view[..., 2] + t))
+    return (1.0 - a_sq) * s_sq / (s_sq + a_sq * view_z * view_z)
 
 
-def ggx_vndf_refraction_pdf(alpha, aniso_dir, eta, view, direction, halfway):
+def ggx_vndf_reflection_pdf(m, view: V3, halfway: V3):
+    """bsdf.glsl:112-124."""
+    ndf = d_ggx(m, halfway)
+    ax, ay = _aniso2(m.ad_x, m.ad_y, view.x, view.y)
+    t = jnp.sqrt((m.alpha_x * ax) ** 2 + (m.alpha_y * ay) ** 2 + view.z * view.z)
+    k = _bounded_k_ani(m, ax, ay, view.z)
+    return _safe_div(ndf, 2.0 * (k * view.z + t))
+
+
+def ggx_vndf_refraction_pdf(m, eta, view: V3, direction: V3, halfway: V3):
     """bsdf.glsl:126-145."""
-    hdotl = dot3(halfway, direction)
-    hdotv = dot3(halfway, view)
+    hdotl = halfway.dot(direction)
+    hdotv = halfway.dot(view)
     denom = (eta * hdotv + hdotl) ** 2
     jacobian = _safe_div(-hdotl, denom)
-    ndf = d_ggx(alpha, aniso_dir, halfway)
-    ani_view = _aniso2(aniso_dir, view[..., :2])
-    ai = alpha * ani_view
-    t = jnp.sqrt(ai[..., 0] ** 2 + ai[..., 1] ** 2 + view[..., 2] ** 2)
-    s = 1.0 + jnp.sqrt(ani_view[..., 0] ** 2 + ani_view[..., 1] ** 2)
-    a = jnp.minimum(alpha[..., 0], alpha[..., 1])
-    a_sq, s_sq = a * a, s * s
-    k = (1.0 - a_sq) * s_sq / (s_sq + a_sq * view[..., 2] ** 2)
-    return _safe_div(2.0 * hdotv * ndf, k * view[..., 2] + t) * jacobian
+    ndf = d_ggx(m, halfway)
+    ax, ay = _aniso2(m.ad_x, m.ad_y, view.x, view.y)
+    t = jnp.sqrt((m.alpha_x * ax) ** 2 + (m.alpha_y * ay) ** 2 + view.z * view.z)
+    k = _bounded_k_ani(m, ax, ay, view.z)
+    return _safe_div(2.0 * hdotv * ndf, k * view.z + t) * jacobian
 
 
-def sample_ggx_vndf(seed, alpha, aniso_dir, view):
+def sample_ggx_vndf(seed, m, view: V3):
     """Bounded-VNDF halfway sample (bsdf.glsl:149-167); 2 rnd draws.
 
-    Returns (halfway, seed).
+    Returns (halfway V3, seed).  Includes the reference's final
+    aniso-space map-back — an (x, -y) mirror for the default direction.
     """
-    view_std = _safe_normalize(
-        vec3(alpha[..., 0] * view[..., 0], alpha[..., 1] * view[..., 1], view[..., 2])
-    )
+    view_std = V3(m.alpha_x * view.x, m.alpha_y * view.y, view.z).normalized()
     (ux, uy), seed = rng.rnd_square(seed)
     phi = TWOPI * ux
-    k = _bounded_k(alpha, view)
-    b = k * view_std[..., 2]
+    k = _bounded_k_raw(m, view)
+    b = k * view_std.z
     z = (1.0 - uy) * (1.0 + b) - b
     sin_theta = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
-    dir_std = vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), z)
-    halfway_std = view_std + dir_std
-    ani_halfway = _safe_normalize(
-        vec3(
-            halfway_std[..., 0] * alpha[..., 0],
-            halfway_std[..., 1] * alpha[..., 1],
-            halfway_std[..., 2],
-        )
+    hs = V3(
+        view_std.x + sin_theta * jnp.cos(phi),
+        view_std.y + sin_theta * jnp.sin(phi),
+        view_std.z + z,
     )
-    hxy = _aniso2(aniso_dir, ani_halfway[..., :2])
-    return vec3(hxy[..., 0], hxy[..., 1], ani_halfway[..., 2]), seed
+    ani = V3(hs.x * m.alpha_x, hs.y * m.alpha_y, hs.z).normalized()
+    hx, hy = _aniso2(m.ad_x, m.ad_y, ani.x, ani.y)
+    return V3(hx, hy, ani.z), seed
 
 
 # ---------------------------------------------------------------------------
@@ -270,8 +250,7 @@ def sample_ggx_vndf(seed, alpha, aniso_dir, view):
 
 
 def dispersed_ior(ior, dispersion, wavelength):
-    """Cauchy-style ior(lambda) used by the reference; identity when the
-    path's wavelength has not collapsed (guards the reference's div-by-0)."""
+    """Cauchy-style ior(lambda); identity until the wavelength collapses."""
     wl_sq = jnp.maximum(wavelength * wavelength, _TINY)
     adjusted = jnp.maximum(
         ior + (ior - 1.0) * dispersion / 20.0 * (523655.0 / wl_sq - 1.5168), 1.0
@@ -284,38 +263,49 @@ def _f0_dielectric(ior):
     return f * f
 
 
+def _thin_halfway(v: V3, l: V3) -> V3:
+    return V3(v.x + l.x, v.y + l.y, v.z - l.z).normalized()
+
+
+def _refr_halfway(eta, v: V3, l: V3) -> V3:
+    h = (v * eta + l).normalized()
+    flip = eta > 1.0
+    return V3(
+        jnp.where(flip, h.x, -h.x),
+        jnp.where(flip, h.y, -h.y),
+        jnp.where(flip, h.z, -h.z),
+    )
+
+
 # ---------------------------------------------------------------------------
 # materialPDF (bsdf.glsl:169-226) — pdf of the BSDF sampler for MIS weights
 # ---------------------------------------------------------------------------
 
 
-def material_pdf(hit: HitInfo, v, l):
+def material_pdf(hit: HitInfo, v: V3, l: V3):
     m = hit.mat
     f0d = _f0_dielectric(m.ior)
     p_trans = (1.0 - m.metallic) * m.transmission
     p_diff = 0.5 * (1.0 - m.metallic)
-    ndotl = l[..., 2]
+    ndotl = l.z
     eta = jnp.where(hit.front_face, 1.0 / m.ior, m.ior)
 
     # --- NdotL < 0 branch (transmission through the surface) ---
-    h_thin = _safe_normalize(v + vec3(l[..., 0], l[..., 1], -l[..., 2]))
-    f_thin = fresnel_schlick(f0d, dot3(v, h_thin))
-    pdf_thin = ggx_vndf_reflection_pdf(m.alpha, m.aniso_dir, v, h_thin)
-
-    h_refr_raw = _safe_normalize(eta[..., None] * v + l)
-    h_refr = jnp.where((eta > 1.0)[..., None], h_refr_raw, -h_refr_raw)
-    f_refr = fresnel_transmission(f0d, eta, dot3(v, h_refr))
-    pdf_refr = ggx_vndf_refraction_pdf(m.alpha, m.aniso_dir, eta, v, l, h_refr)
-
+    h_thin = _thin_halfway(v, l)
+    f_thin = fresnel_schlick(f0d, v.dot(h_thin))
+    pdf_thin = ggx_vndf_reflection_pdf(m, v, h_thin)
+    h_refr = _refr_halfway(eta, v, l)
+    f_refr = fresnel_transmission(f0d, eta, v.dot(h_refr))
+    pdf_refr = ggx_vndf_refraction_pdf(m, eta, v, l, h_refr)
     pdf_neg = p_trans * jnp.where(
         m.thin, (1.0 - f_thin) * pdf_thin, (1.0 - f_refr) * pdf_refr
     )
 
     # --- NdotL >= 0 branch (reflection side) ---
-    h = _safe_normalize(l + v)
-    ggx_pdf = ggx_vndf_reflection_pdf(m.alpha, m.aniso_dir, v, h)
+    h = (l + v).normalized()
+    ggx_pdf = ggx_vndf_reflection_pdf(m, v, h)
     pdf_pos = (1.0 - p_diff) * (1.0 - p_trans) * ggx_pdf + p_diff * ndotl * PIINV
-    vdoth = dot3(v, h)
+    vdoth = v.dot(h)
     f_t_pos = jnp.where(
         m.thin, fresnel_schlick(f0d, vdoth), fresnel_transmission(f0d, eta, vdoth)
     )
@@ -329,59 +319,55 @@ def material_pdf(hit: HitInfo, v, l):
 # ---------------------------------------------------------------------------
 
 
-def material_bsdf(hit: HitInfo, wavelength, v, l):
+def material_bsdf(hit: HitInfo, wavelength, v: V3, l: V3) -> V3:
     m = hit.mat
     ior = dispersed_ior(m.ior, m.dispersion, wavelength)
     f0d = _f0_dielectric(ior)
     p_trans = (1.0 - m.metallic) * m.transmission
-    ndotl = l[..., 2]
+    ndotl = l.z
     eta = jnp.where(hit.front_face, 1.0 / ior, ior)
-    # Beer-Lambert interior absorption on backface transmission (bsdf.glsl:271,304)
-    absorb = jnp.where(
-        (~m.thin & ~hit.front_face)[..., None],
-        jnp.exp(-m.attenuation * hit.t[..., None]),
-        1.0,
+    # Beer-Lambert interior absorption on backface transmission (:271,:304)
+    interior = ~m.thin & ~hit.front_face
+    absorb = V3(
+        jnp.where(interior, jnp.exp(-m.attenuation.x * hit.t), 1.0),
+        jnp.where(interior, jnp.exp(-m.attenuation.y * hit.t), 1.0),
+        jnp.where(interior, jnp.exp(-m.attenuation.z * hit.t), 1.0),
     )
 
     # --- NdotL < 0: transmission lobe only ---
-    h_thin = _safe_normalize(v + vec3(l[..., 0], l[..., 1], -l[..., 2]))
+    h_thin = _thin_halfway(v, l)
     f_thin = fresnel_schlick_vh(f0d, v, h_thin)
-    btdf_thin = specular_btdf(m.alpha, m.aniso_dir, v, l, h_thin)
-
-    h_refr_raw = _safe_normalize(eta[..., None] * v + l)
-    h_refr = jnp.where((eta > 1.0)[..., None], h_refr_raw, -h_refr_raw)
-    f_refr = fresnel_transmission(f0d, eta, dot3(v, h_refr))
-    btdf_refr = refractive_btdf(m.alpha, m.aniso_dir, eta, v, l, h_refr)
-
+    btdf_thin = specular_btdf(m, v, l, h_thin)
+    h_refr = _refr_halfway(eta, v, l)
+    f_refr = fresnel_transmission(f0d, eta, v.dot(h_refr))
+    btdf_refr = refractive_btdf(m, eta, v, l, h_refr)
     f_t_neg = jnp.where(m.thin, f_thin, f_refr)
     lobe_neg = jnp.where(m.thin, btdf_thin, btdf_refr)
-    bsdf_neg = (p_trans * (1.0 - f_t_neg))[..., None] * m.base_colour * lobe_neg[..., None]
-    bsdf_neg = bsdf_neg * absorb
+    bsdf_neg = m.base_colour * (p_trans * (1.0 - f_t_neg) * lobe_neg) * absorb
 
     # --- NdotL > 0: diffuse + specular + transmissive-specular ---
-    h = _safe_normalize(v + l)
+    h = (v + l).normalized()
     f_diel = fresnel_schlick_vh(f0d, v, h)
-    f_metal = fresnel_schlick_vh(m.base_colour, v, h)
-    spec = specular_brdf(m.alpha, m.aniso_dir, v, l, h)
-
-    diffuse = (1.0 - m.transmission)[..., None] * diffuse_brdf(m.base_colour, l)
-    dielectric = diffuse * (1.0 - f_diel[..., None]) + spec[..., None] * f_diel[..., None]
-    metallic_lobe = f_metal * spec[..., None]
-    base = dielectric * (1.0 - m.metallic[..., None]) + metallic_lobe * m.metallic[..., None]
-    base = jnp.where((p_trans < 1.0)[..., None], base, 0.0)
-
-    vdoth = dot3(v, h)
+    f_metal = fresnel_schlick_vh3(m.base_colour, v, h)
+    spec = specular_brdf(m, v, l, h)
+    diffuse = diffuse_brdf(m.base_colour, l) * (1.0 - m.transmission)
+    dielectric = diffuse * (1.0 - f_diel) + spec * f_diel
+    metallic_lobe = f_metal * spec
+    base = dielectric * (1.0 - m.metallic) + metallic_lobe * m.metallic
+    gate_nontrans = jnp.where(p_trans < 1.0, 1.0, 0.0)
+    vdoth = v.dot(h)
     f_t_pos = jnp.where(
         m.thin, fresnel_schlick(f0d, vdoth), fresnel_transmission(f0d, eta, vdoth)
     )
-    trans_pos = (p_trans * f_t_pos)[..., None] * m.base_colour * spec[..., None] * absorb
-    bsdf_pos = base + jnp.where((p_trans > 0.0)[..., None], trans_pos, 0.0)
+    gate_trans = jnp.where(p_trans > 0.0, 1.0, 0.0)
+    trans_pos = m.base_colour * (p_trans * f_t_pos * spec * gate_trans) * absorb
+    bsdf_pos = base * gate_nontrans + trans_pos
 
-    return jnp.where(
-        (ndotl < 0.0)[..., None],
-        bsdf_neg,
-        jnp.where((ndotl > 0.0)[..., None], bsdf_pos, 0.0),
-    )
+    neg = ndotl < 0.0
+    pos = ndotl > 0.0
+    out = bsdf_neg.where(neg, bsdf_pos)
+    # select (not multiply) so inf/NaN in the untaken branch cannot leak
+    return out.where(neg | pos, V3(0.0, 0.0, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -389,24 +375,12 @@ def material_bsdf(hit: HitInfo, wavelength, v, l):
 # ---------------------------------------------------------------------------
 
 
-def sample_material(seed, hit: HitInfo, wavelength, view):
+def sample_material(seed, hit: HitInfo, wavelength, view: V3):
     """Sample an outgoing direction + estimator (bsdf/pdf * |NdotL|).
 
-    Args:
-      seed: (N,) uint32 lanes.
-      hit: HitInfo with tangent-space material.
-      wavelength: (N,) current path wavelength (0 = not collapsed).
-      view: (N, 3) tangent-space view (= -incoming direction).
-
-    Returns (direction, estimator, pdf, base_colour_used, wavelength, seed):
-      direction: (N, 3) tangent-space sample (zero on rejected lanes);
-      estimator: (N, 3) throughput multiplier;
-      pdf: (N,) the sampler pdf (``materialSamplePDF`` for emissive MIS,
-      raygen.rgen:72);
-      base_colour_used: base colour after spectral collapse (lanes where the
-      wavelength collapsed this bounce tint their baseColour,
-      bsdf.glsl:333) — the integrator threads it into subsequent shading;
-      wavelength, seed: updated path state.
+    Returns (direction V3, estimator V3, pdf, base_colour_used V3,
+    wavelength, seed); direction/estimator/pdf are zero on rejected lanes
+    (the reference's early returns, bsdf.glsl:347,370,375,391).
     """
     m = hit.mat
 
@@ -415,11 +389,8 @@ def sample_material(seed, hit: HitInfo, wavelength, view):
     wl_new, seed_c = rng.rnd_range(seed, 400.0, 700.0)
     wavelength = jnp.where(needs_collapse, wl_new, wavelength)
     seed = jnp.where(needs_collapse, seed_c, seed)
-    base_colour = jnp.where(
-        needs_collapse[..., None],
-        m.base_colour * spectral_colour_1931(wavelength),
-        m.base_colour,
-    )
+    tint = V3.from_array(spectral_colour_1931(wavelength))
+    base_colour = (m.base_colour * tint).where(needs_collapse, m.base_colour)
     ior = dispersed_ior(m.ior, m.dispersion, wavelength)
 
     f0d = _f0_dielectric(ior)
@@ -432,123 +403,115 @@ def sample_material(seed, hit: HitInfo, wavelength, view):
     take_trans = u_lobe < p_trans
 
     # ======== transmission branch (bsdf.glsl:343-380) ========
-    h_t, seed_t = sample_ggx_vndf(seed, m.alpha, m.aniso_dir, view)
+    h_t, seed_t = sample_ggx_vndf(seed, m, view)
 
     # thin: reflect, maybe flip z (bsdf.glsl:344-352)
     f_thin = fresnel_schlick_vh(f0d, view, h_t)
-    dir_thin_refl = reflect(-view, h_t)
-    thin_fail = dir_thin_refl[..., 2] < 0.0
-    pdf_thin = ggx_vndf_reflection_pdf(m.alpha, m.aniso_dir, view, h_t)
+    dir_thin_refl = v3_reflect(-view, h_t)
+    thin_fail = dir_thin_refl.z < 0.0
+    pdf_thin = ggx_vndf_reflection_pdf(m, view, h_t)
     u_flip, seed_t_flip = rng.rnd(seed_t)
     flip = u_flip > f_thin
-    dir_thin = jnp.where(
-        flip[..., None],
-        dir_thin_refl * jnp.asarray([1.0, 1.0, -1.0]),
-        dir_thin_refl,
+    dir_thin = V3(
+        dir_thin_refl.x,
+        dir_thin_refl.y,
+        jnp.where(flip, -dir_thin_refl.z, dir_thin_refl.z),
     )
     seed_thin = jnp.where(thin_fail, seed_t, seed_t_flip)
 
     # volumetric: Fresnel-split reflect/refract (bsdf.glsl:353-377)
-    vdoth_t = dot3(view, h_t)
+    vdoth_t = view.dot(h_t)
     f_vol = fresnel_transmission(f0d, eta, vdoth_t)
     u_frn, seed_vol = rng.rnd(seed_t)
     vol_reflect = u_frn < f_vol
-    dir_vol_refl = reflect(-view, h_t)
-    dir_vol_refr = refract(-view, h_t, eta)
-    dir_vol = jnp.where(vol_reflect[..., None], dir_vol_refl, dir_vol_refr)
+    dir_vol_refl = v3_reflect(-view, h_t)
+    dir_vol_refr = v3_refract(-view, h_t, eta)
+    dir_vol = dir_vol_refl.where(vol_reflect, dir_vol_refr)
     pdf_vol = jnp.where(
         vol_reflect,
-        ggx_vndf_reflection_pdf(m.alpha, m.aniso_dir, view, h_t),
-        ggx_vndf_refraction_pdf(m.alpha, m.aniso_dir, eta, view, dir_vol_refr, h_t),
+        ggx_vndf_reflection_pdf(m, view, h_t),
+        ggx_vndf_refraction_pdf(m, eta, view, dir_vol_refr, h_t),
     )
-    vol_fail = jnp.where(
-        vol_reflect, dir_vol[..., 2] < 0.0, dir_vol[..., 2] > 0.0
-    )
+    vol_fail = jnp.where(vol_reflect, dir_vol.z < 0.0, dir_vol.z > 0.0)
 
-    dir_trans = jnp.where(m.thin[..., None], dir_thin, dir_vol)
-    pdf_ggx_trans = jnp.where(m.thin, pdf_thin, pdf_vol)
-    fail_trans = jnp.where(m.thin, thin_fail, vol_fail)
-    seed_trans = jnp.where(m.thin, seed_thin, seed_vol)
-    f_trans_trans = jnp.where(m.thin, f_thin, f_vol)
+    thin = m.thin
+    dir_trans = dir_thin.where(thin, dir_vol)
+    pdf_ggx_trans = jnp.where(thin, pdf_thin, pdf_vol)
+    fail_trans = jnp.where(thin, thin_fail, vol_fail)
+    seed_trans = jnp.where(thin, seed_thin, seed_vol)
+    f_trans_trans = jnp.where(thin, f_thin, f_vol)
 
     # ======== reflection/diffuse branch (bsdf.glsl:381-408) ========
     u_diff, seed_r = rng.rnd(seed)
     is_diff = u_diff < p_diff
     (cx, cy, cz), seed_cos = rng.sample_cosine_hemisphere(seed_r)
-    dir_cos = vec3(cx, cy, cz)
-    h_cos = _safe_normalize(view + dir_cos)
-    h_v, seed_vndf = sample_ggx_vndf(seed_r, m.alpha, m.aniso_dir, view)
-    dir_vndf = reflect(-view, h_v)
-    dir_refl = jnp.where(is_diff[..., None], dir_cos, dir_vndf)
-    h_refl = jnp.where(is_diff[..., None], h_cos, h_v)
+    dir_cos = V3(cx, cy, cz)
+    h_cos = (view + dir_cos).normalized()
+    h_v, seed_vndf = sample_ggx_vndf(seed_r, m, view)
+    dir_vndf = v3_reflect(-view, h_v)
+    dir_refl = dir_cos.where(is_diff, dir_vndf)
+    h_refl = h_cos.where(is_diff, h_v)
     seed_refl = jnp.where(is_diff, seed_cos, seed_vndf)
-    fail_refl = dir_refl[..., 2] < 0.0
-    pdf_ggx_refl = ggx_vndf_reflection_pdf(m.alpha, m.aniso_dir, view, h_refl)
-    vdoth_r = dot3(view, h_refl)
+    fail_refl = dir_refl.z < 0.0
+    pdf_ggx_refl = ggx_vndf_reflection_pdf(m, view, h_refl)
+    vdoth_r = view.dot(h_refl)
     f_trans_refl = jnp.where(
-        m.thin | (eta <= 1.0),
+        thin | (eta <= 1.0),
         fresnel_schlick(f0d, vdoth_r),
         fresnel_transmission(f0d, eta, vdoth_r),
     )
 
     # ======== merge branches ========
-    direction = jnp.where(take_trans[..., None], dir_trans, dir_refl)
-    halfway = jnp.where(take_trans[..., None], h_t, h_refl)
+    direction = dir_trans.where(take_trans, dir_refl)
+    halfway = h_t.where(take_trans, h_refl)
     pdf_ggx = jnp.where(take_trans, pdf_ggx_trans, pdf_ggx_refl)
     fail = jnp.where(take_trans, fail_trans, fail_refl)
     seed = jnp.where(take_trans, seed_trans, seed_refl)
     f_trans = jnp.where(take_trans, f_trans_trans, f_trans_refl)
-    ndotl = direction[..., 2]
+    ndotl = direction.z
 
     f_diel = fresnel_schlick_vh(f0d, view, halfway)
-    f_metal = fresnel_schlick_vh(base_colour, view, halfway)
+    f_metal = fresnel_schlick_vh3(base_colour, view, halfway)
 
-    absorb = jnp.where(
-        (~m.thin & ~hit.front_face)[..., None],
-        jnp.exp(-m.attenuation * hit.t[..., None]),
-        1.0,
+    interior = ~thin & ~hit.front_face
+    absorb = V3(
+        jnp.where(interior, jnp.exp(-m.attenuation.x * hit.t), 1.0),
+        jnp.where(interior, jnp.exp(-m.attenuation.y * hit.t), 1.0),
+        jnp.where(interior, jnp.exp(-m.attenuation.z * hit.t), 1.0),
     )
 
     # ---- NdotL < 0 tail: transmission bsdf/pdf (bsdf.glsl:410-418) ----
     lobe_neg = jnp.where(
-        m.thin,
-        specular_btdf(m.alpha, m.aniso_dir, view, direction, halfway),
-        refractive_btdf(m.alpha, m.aniso_dir, eta, view, direction, halfway),
+        thin,
+        specular_btdf(m, view, direction, halfway),
+        refractive_btdf(m, eta, view, direction, halfway),
     )
-    bsdf_neg = (p_trans * (1.0 - f_trans))[..., None] * base_colour * lobe_neg[..., None]
-    bsdf_neg = bsdf_neg * absorb
+    bsdf_neg = base_colour * (p_trans * (1.0 - f_trans) * lobe_neg) * absorb
     pdf_neg = p_trans * (1.0 - f_trans) * pdf_ggx
 
     # ---- NdotL >= 0 tail (bsdf.glsl:419-437) ----
-    spec = specular_brdf(m.alpha, m.aniso_dir, view, direction, halfway)
-    diffuse = (1.0 - m.transmission)[..., None] * diffuse_brdf(base_colour, direction)
-    dielectric = diffuse * (1.0 - f_diel[..., None]) + spec[..., None] * f_diel[..., None]
-    base = dielectric * (1.0 - m.metallic[..., None]) + f_metal * (spec * m.metallic)[..., None]
-    has_nontrans = p_trans < 1.0
-    bsdf_pos = jnp.where(has_nontrans[..., None], base, 0.0)
-    pdf_pos = jnp.where(
-        has_nontrans,
-        (1.0 - p_diff) * (1.0 - p_trans) * pdf_ggx + p_diff * ndotl * PIINV,
-        0.0,
+    spec = specular_brdf(m, view, direction, halfway)
+    diffuse = diffuse_brdf(base_colour, direction) * (1.0 - m.transmission)
+    dielectric = diffuse * (1.0 - f_diel) + spec * f_diel
+    base = dielectric * (1.0 - m.metallic) + f_metal * (spec * m.metallic)
+    gate_nt = jnp.where(p_trans < 1.0, 1.0, 0.0)
+    gate_t = jnp.where(p_trans > 0.0, 1.0, 0.0)
+    bsdf_pos = base * gate_nt + base_colour * (p_trans * f_trans * spec * gate_t) * absorb
+    pdf_pos = (
+        ((1.0 - p_diff) * (1.0 - p_trans) * pdf_ggx + p_diff * ndotl * PIINV) * gate_nt
+        + p_trans * f_trans * pdf_ggx * gate_t
     )
-    trans_pos = (p_trans * f_trans)[..., None] * base_colour * spec[..., None] * absorb
-    has_trans = p_trans > 0.0
-    bsdf_pos = bsdf_pos + jnp.where(has_trans[..., None], trans_pos, 0.0)
-    pdf_pos = pdf_pos + jnp.where(has_trans, p_trans * f_trans * pdf_ggx, 0.0)
 
     neg = ndotl < 0.0
-    bsdf = jnp.where(neg[..., None], bsdf_neg, bsdf_pos)
+    bsdf = bsdf_neg.where(neg, bsdf_pos)
     pdf = jnp.where(neg, pdf_neg, pdf_pos)
 
     # rejected lanes: direction/estimator/pdf zero (early returns :347,370,375,391)
     ok = ~fail
-    direction = jnp.where(ok[..., None], direction, 0.0)
-    zero_bsdf = jnp.all(bsdf == 0.0, axis=-1) | (pdf <= 0.0)
-    est = jnp.where(
-        (ok & ~zero_bsdf)[..., None],
-        bsdf * _safe_div(jnp.ones_like(pdf), pdf)[..., None]
-        * jnp.abs(ndotl)[..., None],
-        0.0,
+    direction = direction.where(ok, V3(0.0, 0.0, 0.0))
+    zero_bsdf = ~bsdf.any_nonzero() | (pdf <= 0.0)
+    est = (bsdf * (_safe_div(jnp.float32(1.0), pdf) * jnp.abs(ndotl))).where(
+        ok & ~zero_bsdf, V3(0.0, 0.0, 0.0)
     )
     pdf = jnp.where(ok, pdf, 0.0)
     return direction, est, pdf, base_colour, wavelength, seed

@@ -4,7 +4,11 @@ The reference's per-pixel megakernel (shaders/raygen.rgen:32-100 plus the
 closest-hit/any-hit/miss stages it dispatches) becomes one jit-compiled
 program over SoA ray wavefronts: every pixel is a lane, the bounce loop is a
 ``lax.fori_loop`` with masked termination, and each ``traceRayEXT`` becomes
-a vectorised BVH traversal (:mod:`vulkan_raytracer_tpu.ops.traverse`).
+a vectorised intersection sweep — dense gather-free chunks for small scenes
+(:mod:`vulkan_raytracer_tpu.ops.dense`), threaded-BVH traversal beyond
+(:mod:`vulkan_raytracer_tpu.ops.traverse`).  All vector state is in
+component form (:class:`vulkan_raytracer_tpu.ops.math3.V3`) so elementwise
+work runs on full 128-wide VPU lanes.
 
 Algorithmic parity notes (faithful to the reference, quirks included):
 * NEE runs at the *start* of the next bounce with the throughput already
@@ -36,22 +40,21 @@ from ..ops.bsdf import (
     material_pdf,
     sample_material,
 )
-from ..ops.math3 import (
-    BIAS,
-    EPS,
-    INF,
-    branchless_onb,
-    cross3,
-    dot3,
-    from_tangent,
-    to_tangent,
-    vec3,
-)
 from ..ops.dense import (
     DENSE_MAX_TRIS,
     dense_closest,
     dense_emissive_pdf,
     dense_shadow,
+)
+from ..ops.math3 import (
+    BIAS,
+    EPS,
+    INF,
+    V3,
+    v3_from_tangent,
+    v3_gather,
+    v3_onb,
+    v3_to_tangent,
 )
 from ..ops.texture import sample_bilinear_stack, sample_equirect
 from ..ops.traverse import trace_closest, trace_emissive_pdf, trace_shadow
@@ -70,30 +73,32 @@ def _dense_ok(tables) -> bool:
     return tables.num_triangles <= DENSE_MAX_TRIS and not tables.has_blend
 
 
-def _closest(tables, o, d, *, t_min, t_max, active, seed):
+def _closest(tables, o: V3, d: V3, *, t_min, t_max, active, seed):
     if _dense_ok(tables):
         return dense_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active), seed
     alpha = tables.alpha if tables.has_alpha else None
     return trace_closest(
-        tables.bvh, o, d, t_min=t_min, t_max=t_max, active=active, seed=seed,
-        alpha=alpha,
+        tables.bvh, o.to_array(), d.to_array(), t_min=t_min, t_max=t_max,
+        active=active, seed=seed, alpha=alpha,
     )
 
 
-def _shadow(tables, o, d, *, t_max, active, seed):
+def _shadow(tables, o: V3, d: V3, *, t_max, active, seed):
     if _dense_ok(tables):
         return dense_shadow(tables, o, d, t_max=t_max, active=active), seed
     alpha = tables.alpha if tables.has_alpha else None
     return trace_shadow(
-        tables.bvh, o, d, t_max=t_max, active=active, seed=seed, alpha=alpha
+        tables.bvh, o.to_array(), d.to_array(), t_max=t_max, active=active,
+        seed=seed, alpha=alpha,
     )
 
 
-def _emissive_pdf(tables, o, d, *, t_min, active):
+def _emissive_pdf(tables, o: V3, d: V3, *, t_min, active):
     if tables.num_emissive_tris <= 1024:
         return dense_emissive_pdf(tables, o, d, t_min=t_min, active=active)
     return trace_emissive_pdf(
-        tables.ebvh, tables.em_tables, o, d, t_min=t_min, active=active
+        tables.ebvh, tables.em_tables, o.to_array(), d.to_array(), t_min=t_min,
+        active=active,
     )
 
 
@@ -103,7 +108,8 @@ def _emissive_pdf(tables, o, d, *, t_min, active):
 
 
 def generate_primary_rays(view_inv, proj_inv, width, height, sample_count, lane_idx=None):
-    """Camera rays for the given pixel lanes; returns (origin, direction, seed).
+    """Camera rays for the given pixel lanes; returns (origin V3, direction
+    V3, seed).
 
     Seeds are TEA(pixelIdx, sampleCount) (raygen.rgen:33); jitter is the
     pixel centre on sample 0, else two rnd draws (raygen.rgen:34).
@@ -127,16 +133,19 @@ def generate_primary_rays(view_inv, proj_inv, width, height, sample_count, lane_
     u = (px + jx) / _F32(width) * 2.0 - 1.0
     v = -((py + jy) / _F32(height) * 2.0 - 1.0)
     # target = projInverse * (d.x, d.y, 1, 1), xyz only (raygen.rgen:41)
-    ndc = jnp.stack([u, v, jnp.ones_like(u), jnp.ones_like(u)], axis=-1)
-    target = ndc @ proj_inv[:3, :].T  # (N, 3)
-    tnorm = target / jnp.maximum(
-        jnp.linalg.norm(target, axis=-1, keepdims=True), 1e-20
-    )
-    direction = tnorm @ view_inv[:3, :3].T
-    direction = direction / jnp.maximum(
-        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-20
-    )
-    origin = jnp.broadcast_to(view_inv[:3, 3], (idx.shape[0], 3))
+    p = proj_inv
+    tgt = V3(
+        p[0, 0] * u + p[0, 1] * v + p[0, 2] + p[0, 3],
+        p[1, 0] * u + p[1, 1] * v + p[1, 2] + p[1, 3],
+        p[2, 0] * u + p[2, 1] * v + p[2, 2] + p[2, 3],
+    ).normalized()
+    m = view_inv
+    direction = V3(
+        m[0, 0] * tgt.x + m[0, 1] * tgt.y + m[0, 2] * tgt.z,
+        m[1, 0] * tgt.x + m[1, 1] * tgt.y + m[1, 2] * tgt.z,
+        m[2, 0] * tgt.x + m[2, 1] * tgt.y + m[2, 2] * tgt.z,
+    ).normalized()
+    origin = V3.splat((m[0, 3], m[1, 3], m[2, 3]), idx.shape)
     return origin, direction, seed
 
 
@@ -145,69 +154,67 @@ def generate_primary_rays(view_inv, proj_inv, width, height, sample_count, lane_
 # ---------------------------------------------------------------------------
 
 
-def eval_hit(tables, origin, direction, t, tri, u, v):
+def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v) -> HitInfo:
     """Build HitInfo for every lane; miss lanes get skybox emission, t=-INF."""
-    n_lanes = origin.shape[0]
     miss = tri < 0
     ti = jnp.maximum(tri, 0)
-    w0 = (1.0 - u - v)[:, None]
-    w1 = u[:, None]
-    w2 = v[:, None]
+    w0 = 1.0 - u - v
 
-    pos = origin + jnp.where(jnp.isfinite(t), t, 0.0)[:, None] * direction
+    t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+    pos = origin + direction * t_safe
 
-    tn = jnp.take(tables.tri_n, ti, axis=0)  # (N, 3, 3)
-    nrm_raw = w0 * tn[:, 0] + w1 * tn[:, 1] + w2 * tn[:, 2]
-    normal = nrm_raw / jnp.maximum(
-        jnp.linalg.norm(nrm_raw, axis=-1, keepdims=True), 1e-20
-    )
+    def interp3(t0, t1, t2):  # V3-of-(T,) vertex attrs -> V3 interpolated
+        a = v3_gather(t0, ti)
+        b = v3_gather(t1, ti)
+        c = v3_gather(t2, ti)
+        return a * w0 + b * u + c * v
+
+    normal = interp3(tables.n0, tables.n1, tables.n2).normalized()
 
     mat_i = jnp.take(tables.tri_mat, ti, axis=0)
     m = tables.materials
-    tex_idx = jnp.take(m.tex_idx, mat_i, axis=0)  # (N, 6)
-    uv_tri = jnp.take(tables.tri_uv, ti, axis=0)  # (N, 3, 2)
-    uv = w0 * uv_tri[:, 0] + w1 * uv_tri[:, 1] + w2 * uv_tri[:, 2]
 
     # tangent frame (hit.rchit:61-71): built from the pre-flip normal
-    tt = jnp.take(tables.tri_tg, ti, axis=0)  # (N, 3, 3)
-    tg_raw = w0 * tt[:, 0] + w1 * tt[:, 1] + w2 * tt[:, 2]
-    has_tg = jnp.any(tg_raw != 0.0, axis=-1)
-    sign = jnp.take(tables.tri_tg_sign, ti, axis=0)
-
-    tg_n = tg_raw / jnp.maximum(jnp.linalg.norm(tg_raw, axis=-1, keepdims=True), 1e-20)
+    tg_raw = interp3(tables.tg0, tables.tg1, tables.tg2)
+    has_tg = tg_raw.any_nonzero()
+    sign = jnp.take(tables.tg_sign, ti, axis=0)
+    tg_n = tg_raw.normalized()
 
     shading_normal = normal
-    if tables.has_textures:  # normal mapping (hit.rchit:64-66)
+    uv = None
+    tex_idx = None
+    if tables.has_textures:
+        tex_idx = jnp.take(m.tex_idx, mat_i, axis=0)  # (N, 6)
+        uv_g = jnp.take(tables.uv, ti, axis=0)  # (N, 6) [u0 v0 u1 v1 u2 v2]
+        uv = jnp.stack(
+            [
+                w0 * uv_g[:, 0] + u * uv_g[:, 2] + v * uv_g[:, 4],
+                w0 * uv_g[:, 1] + u * uv_g[:, 3] + v * uv_g[:, 5],
+            ],
+            axis=-1,
+        )
+        # normal mapping (hit.rchit:64-66)
         has_nm = (tex_idx[:, 2] >= 0) & has_tg
-        bt0 = cross3(normal, tg_n) * sign[:, None]
+        bt0 = normal.cross(tg_n) * sign
         texel = sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_idx[:, 2], uv)
-        nmap = texel[:, :3] * 2.0 - 1.0
-        nmap = nmap / jnp.maximum(jnp.linalg.norm(nmap, axis=-1, keepdims=True), 1e-20)
-        mapped = (
-            nmap[:, 0:1] * tg_n + nmap[:, 1:2] * bt0 + nmap[:, 2:3] * normal
-        )
-        mapped = mapped / jnp.maximum(
-            jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20
-        )
-        shading_normal = jnp.where(has_nm[:, None], mapped, normal)
+        nmap = V3(texel[:, 0] * 2.0 - 1.0, texel[:, 1] * 2.0 - 1.0, texel[:, 2] * 2.0 - 1.0).normalized()
+        mapped = (tg_n * nmap.x + bt0 * nmap.y + normal * nmap.z).normalized()
+        shading_normal = mapped.where(has_nm, normal)
 
     # re-orthogonalise tangent against the (possibly mapped) normal
-    tg_ortho = tg_n - dot3(shading_normal, tg_n)[:, None] * shading_normal
-    tg_ortho = tg_ortho / jnp.maximum(
-        jnp.linalg.norm(tg_ortho, axis=-1, keepdims=True), 1e-20
-    )
-    bt_ortho = cross3(shading_normal, tg_ortho) * sign[:, None]
-    onb_t, onb_b = branchless_onb(shading_normal)
-    tangent = jnp.where(has_tg[:, None], tg_ortho, onb_t)
-    bitangent = jnp.where(has_tg[:, None], bt_ortho, onb_b)
+    tg_ortho = (tg_n - shading_normal * shading_normal.dot(tg_n)).normalized()
+    bt_ortho = shading_normal.cross(tg_ortho) * sign
+    onb_t, onb_b = v3_onb(shading_normal)
+    tangent = tg_ortho.where(has_tg, onb_t)
+    bitangent = bt_ortho.where(has_tg, onb_b)
 
     view = -direction
-    front = dot3(shading_normal, view) >= 0.0
-    shading_normal = jnp.where(front[:, None], shading_normal, -shading_normal)
+    front = shading_normal.dot(view) >= 0.0
+    shading_normal = shading_normal.where(front, -shading_normal)
 
     # material evaluation (hit.rchit:75-113)
-    base = jnp.take(m.base_colour, mat_i, axis=0)[:, :3]
-    emissive = jnp.take(m.emissive, mat_i, axis=0)
+    base = v3_gather(m.base_colour, mat_i)
+    emissive = v3_gather(m.emissive_v, mat_i)
     transmission = jnp.take(m.transmission, mat_i, axis=0)
     metallic = jnp.take(m.metallic, mat_i, axis=0)
     rough = jnp.take(m.roughness, mat_i, axis=0)
@@ -215,50 +222,46 @@ def eval_hit(tables, origin, direction, t, tri, u, v):
     aniso_r = jnp.take(m.aniso_rotation, mat_i, axis=0)
 
     if tables.has_textures:
-        def modulate(col, val, ch):
-            has = tex_idx[:, col] >= 0
-            texel = sample_bilinear_stack(
-                tables.tex_data, tables.tex_size, tex_idx[:, col], uv
-            )
-            mod = texel[:, ch]
-            if val.ndim == 2:
-                return jnp.where(has[:, None], val * mod, val)
-            return jnp.where(has, val * mod, val)
+        def sample(col):
+            return sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_idx[:, col], uv)
 
-        base = modulate(0, base, slice(0, 3))
-        emissive = modulate(3, emissive, slice(0, 3))
-        transmission = modulate(4, transmission, 0)
-        mr_has = tex_idx[:, 1] >= 0
-        mr = sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_idx[:, 1], uv)
-        metallic = jnp.where(mr_has, metallic * mr[:, 2], metallic)
-        rough = jnp.where(mr_has, rough * mr[:, 1], rough)
-        an_has = tex_idx[:, 5] >= 0
-        an = sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_idx[:, 5], uv)
-        aniso_r = jnp.where(
-            an_has, aniso_r + jnp.arctan2(an[:, 1], an[:, 0]), aniso_r
-        )
-        aniso_s = jnp.where(an_has, aniso_s * an[:, 2], aniso_s)
+        has_b = tex_idx[:, 0] >= 0
+        tb = sample(0)
+        base = (base * V3(tb[:, 0], tb[:, 1], tb[:, 2])).where(has_b, base)
+        has_e = tex_idx[:, 3] >= 0
+        te = sample(3)
+        emissive = (emissive * V3(te[:, 0], te[:, 1], te[:, 2])).where(has_e, emissive)
+        has_tr = tex_idx[:, 4] >= 0
+        transmission = jnp.where(has_tr, transmission * sample(4)[:, 0], transmission)
+        has_mr = tex_idx[:, 1] >= 0
+        mr = sample(1)
+        metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
+        rough = jnp.where(has_mr, rough * mr[:, 1], rough)
+        has_an = tex_idx[:, 5] >= 0
+        an = sample(5)
+        aniso_r = jnp.where(has_an, aniso_r + jnp.arctan2(an[:, 1], an[:, 0]), aniso_r)
+        aniso_s = jnp.where(has_an, aniso_s * an[:, 2], aniso_s)
 
     alpha_c = jnp.maximum(rough * rough, 0.001)  # hit.rchit:94-95
     alpha_x = alpha_c + (1.0 - alpha_c) * (aniso_s * aniso_s)  # mix (hit.rchit:112)
-    alpha = jnp.stack([alpha_x, alpha_c], axis=-1)
-    aniso_dir = jnp.stack([jnp.cos(aniso_r), jnp.sin(aniso_r)], axis=-1)
 
     # miss lanes: skybox emission with t = -INF (skybox.rmiss:26-28)
-    sky = sample_equirect(tables.skybox, direction) * tables.skybox_strength
-    emissive = jnp.where(miss[:, None], sky, emissive)
+    sky = sample_equirect(tables.skybox, direction.to_array()) * tables.skybox_strength
+    emissive = V3.from_array(sky).where(miss, emissive)
     t_out = jnp.where(miss, -INF, t)
 
     mat = HitMaterial(
         base_colour=base,
         emissive=emissive,
         metallic=metallic,
-        alpha=alpha,
-        aniso_dir=aniso_dir,
+        alpha_x=alpha_x,
+        alpha_y=alpha_c,
+        ad_x=jnp.cos(aniso_r),
+        ad_y=jnp.sin(aniso_r),
         transmission=transmission,
         ior=jnp.take(m.ior, mat_i, axis=0),
         thin=jnp.take(m.thin, mat_i, axis=0),
-        attenuation=jnp.take(m.attenuation, mat_i, axis=0),
+        attenuation=v3_gather(m.attenuation, mat_i),
         dispersion=jnp.take(m.dispersion, mat_i, axis=0),
     )
     return HitInfo(
@@ -282,14 +285,19 @@ def _balance(p1, p2):
     return p1 / jnp.maximum(p1 + p2, 1e-30)
 
 
-def _sample_analytic(tables, hit, seed, mask, alpha_tables):
+def _offset_origin(hit: HitInfo, light_dir: V3) -> V3:
+    off = jnp.where(hit.normal.dot(light_dir) >= 0.0, BIAS, -BIAS)
+    return hit.pos + hit.normal * off
+
+
+def _sample_analytic(tables, hit, seed, mask):
     """50/50 point-vs-directional pick + shadow ray (lightsample.glsl:14-52).
 
-    Returns (radiance, light_dir, pdf, seed).
+    Returns (radiance V3, light_dir V3, pdf, seed, rays).
     """
     np_, nd = tables.num_point, tables.num_directional
     p_factor = 1.0 / ((np_ > 0) + (nd > 0))
-    n = hit.pos.shape[0]
+    n = hit.t.shape[0]
 
     pick_point = jnp.zeros((n,), bool)
     if np_ > 0:
@@ -306,55 +314,49 @@ def _sample_analytic(tables, hit, seed, mask, alpha_tables):
 
     # point branch
     pi = jnp.clip(idx, 0, max(np_ - 1, 0))
-    l_pos = jnp.take(tables.pl_pos, pi, axis=0)
+    l_pos = v3_gather(tables.pl_pos, pi)
     ray = l_pos - hit.pos
-    dist = jnp.sqrt(jnp.maximum(dot3(ray, ray), 1e-30))
-    dir_p = ray / dist[:, None]
+    dist = jnp.sqrt(jnp.maximum(ray.length_sq(), 1e-30))
+    dir_p = ray / dist
+    l_range = jnp.take(tables.pl_range, pi, axis=0)
     att = jnp.where(
-        jnp.take(tables.pl_range, pi, axis=0) == 0.0,
+        l_range == 0.0,
         1.0,
-        jnp.maximum(
-            1.0 - (dist / jnp.maximum(jnp.take(tables.pl_range, pi, axis=0), 1e-20)) ** 4,
-            0.0,
-        ),
+        jnp.maximum(1.0 - (dist / jnp.maximum(l_range, 1e-20)) ** 4, 0.0),
     )
     att = jnp.minimum(att / (dist * dist), 1.0)
-    rad_p = (
-        jnp.take(tables.pl_colour, pi, axis=0)
-        * (jnp.take(tables.pl_intensity, pi, axis=0) * att)[:, None]
+    rad_p = v3_gather(tables.pl_colour, pi) * (
+        jnp.take(tables.pl_intensity, pi, axis=0) * att
     )
     pdf_p = jnp.full((n,), p_factor / max(np_, 1), _F32)
 
     # directional branch
     di = jnp.clip(idx - np_, 0, max(nd - 1, 0))
-    dir_d = -jnp.take(tables.dl_dir, di, axis=0)
-    rad_d = (
-        jnp.take(tables.dl_colour, di, axis=0)
-        * jnp.take(tables.dl_intensity, di, axis=0)[:, None]
+    dir_d = -v3_gather(tables.dl_dir, di)
+    rad_d = v3_gather(tables.dl_colour, di) * jnp.take(
+        tables.dl_intensity, di, axis=0
     )
     pdf_d = jnp.full((n,), p_factor / max(nd, 1), _F32)
 
-    light_dir = jnp.where(pick_point[:, None], dir_p, dir_d)
-    radiance = jnp.where(pick_point[:, None], rad_p, rad_d)
+    light_dir = dir_p.where(pick_point, dir_d)
+    radiance = rad_p.where(pick_point, rad_d)
     pdf = jnp.where(pick_point, pdf_p, pdf_d)
     t_max = jnp.where(pick_point, dist, INF)
 
-    offset = jnp.where(dot3(hit.normal, light_dir) >= 0.0, 1.0, -1.0)
-    ray_o = hit.pos + (offset * BIAS)[:, None] * hit.normal
+    ray_o = _offset_origin(hit, light_dir)
     occluded, seed = _shadow(
         tables, ray_o, light_dir, t_max=t_max, active=mask, seed=seed
     )
-    radiance = jnp.where((occluded | ~mask)[:, None], 0.0, radiance)
+    radiance = radiance.where(~occluded & mask, V3(0.0, 0.0, 0.0))
     return radiance, light_dir, pdf, seed, jnp.sum(mask, dtype=jnp.int32)
 
 
-def _sample_emissive(tables, hit, seed, mask, alpha_tables):
+def _sample_emissive(tables, hit, seed, mask):
     """Emissive-triangle NEE (lightsample.glsl:54-141): CDF search, uniform
     point on the triangle, closest-hit verification, pdf probe.
 
-    Returns (radiance, light_dir, pdf, seed).
+    Returns (radiance V3, light_dir V3, pdf, seed, rays).
     """
-    n = hit.pos.shape[0]
     u_cdf, seed_c = rng.rnd(seed)
     seed = jnp.where(mask, seed_c, seed)
     tri_e = jnp.clip(
@@ -370,16 +372,15 @@ def _sample_emissive(tables, hit, seed, mask, alpha_tables):
     ux = jnp.where(fold, 1.0 - ux, ux)
     uy = jnp.where(fold, 1.0 - uy, uy)
 
-    v0 = jnp.take(tables.tri_v0, scene_tri, axis=0)
-    v1 = jnp.take(tables.tri_v1, scene_tri, axis=0)
-    v2 = jnp.take(tables.tri_v2, scene_tri, axis=0)
-    point = v0 * ux[:, None] + v1 * uy[:, None] + v2 * (1.0 - ux - uy)[:, None]
+    v0 = v3_gather(tables.v0, scene_tri)
+    v1 = v3_gather(tables.v1, scene_tri)
+    v2 = v3_gather(tables.v2, scene_tri)
+    point = v0 * ux + v1 * uy + v2 * (1.0 - ux - uy)
 
     ray = point - hit.pos
-    dist = jnp.sqrt(jnp.maximum(dot3(ray, ray), 1e-30))
-    light_dir = ray / dist[:, None]
-    offset = jnp.where(dot3(hit.normal, light_dir) >= 0.0, 1.0, -1.0)
-    ray_o = hit.pos + (offset * BIAS)[:, None] * hit.normal
+    dist = jnp.sqrt(jnp.maximum(ray.length_sq(), 1e-30))
+    light_dir = ray / dist
+    ray_o = _offset_origin(hit, light_dir)
 
     # verification ray: closest hit must be the sampled triangle
     # (emissive.rchit:47).  The reference uses tMax = dist + 1e-7
@@ -401,27 +402,25 @@ def _sample_emissive(tables, hit, seed, mask, alpha_tables):
     pdf = _emissive_pdf(tables, ray_o, light_dir, t_min=0.0, active=visible)
 
     mat_i = jnp.take(tables.tri_mat, jnp.maximum(scene_tri, 0), axis=0)
-    radiance = jnp.take(tables.materials.emissive, mat_i, axis=0)
-    radiance = jnp.where(visible[:, None], radiance, 0.0)
+    radiance = v3_gather(tables.materials.emissive_v, mat_i)
+    radiance = radiance.where(visible, V3(0.0, 0.0, 0.0))
     rays = jnp.sum(mask, dtype=jnp.int32) + jnp.sum(visible, dtype=jnp.int32)
     return radiance, light_dir, pdf, seed, rays
 
 
-def sample_lights(tables, hit, wavelength, view_world, seed, mask):
+def sample_lights(tables, hit, wavelength, view_world: V3, seed, mask):
     """Port of sampleLights (lightsample.glsl:143-173).
 
     Strategy pick between analytic and emissive NEE, BSDF x cos / pdf with
     balance-heuristic MIS for area lights (delta lights exempt).
-    Returns (contribution (N,3), seed, rays_traced).
+    Returns (contribution V3, seed, rays_traced).
     """
     has_analytic = tables.num_point + tables.num_directional > 0
     has_emissive = tables.num_emissive_tris > 0
-    n = hit.pos.shape[0]
+    n = hit.t.shape[0]
     rays = jnp.zeros((), jnp.int32)
     if not has_analytic and not has_emissive:
-        return jnp.zeros((n, 3), _F32), seed, rays
-
-    alpha_tables = tables.alpha if tables.has_alpha else None
+        return V3.splat((0.0, 0.0, 0.0), (n,)), seed, rays
 
     if has_analytic:
         u, seed_s = rng.rnd(seed)  # drawn whenever analytic lights exist (:150)
@@ -430,41 +429,39 @@ def sample_lights(tables, hit, wavelength, view_world, seed, mask):
     else:
         pick_analytic = jnp.zeros((n,), bool)
 
-    radiance = jnp.zeros((n, 3), _F32)
-    light_dir = jnp.zeros((n, 3), _F32)
+    radiance = V3.splat((0.0, 0.0, 0.0), (n,))
+    light_dir = V3.splat((0.0, 0.0, 0.0), (n,))
     pdf = jnp.zeros((n,), _F32)
     delta = pick_analytic
 
     if has_analytic:
         rad_a, dir_a, pdf_a, seed, r_a = _sample_analytic(
-            tables, hit, seed, mask & pick_analytic, alpha_tables
+            tables, hit, seed, mask & pick_analytic
         )
-        radiance = jnp.where(pick_analytic[:, None], rad_a, radiance)
-        light_dir = jnp.where(pick_analytic[:, None], dir_a, light_dir)
+        radiance = rad_a.where(pick_analytic, radiance)
+        light_dir = dir_a.where(pick_analytic, light_dir)
         pdf = jnp.where(pick_analytic, pdf_a, pdf)
         rays = rays + r_a
     if has_emissive:
         rad_e, dir_e, pdf_e, seed, r_e = _sample_emissive(
-            tables, hit, seed, mask & ~pick_analytic, alpha_tables
+            tables, hit, seed, mask & ~pick_analytic
         )
-        radiance = jnp.where(pick_analytic[:, None], radiance, rad_e)
-        light_dir = jnp.where(pick_analytic[:, None], light_dir, dir_e)
+        radiance = radiance.where(pick_analytic, rad_e)
+        light_dir = light_dir.where(pick_analytic, dir_e)
         pdf = jnp.where(pick_analytic, pdf, pdf_e)
         rays = rays + r_e
 
-    got_light = jnp.any(radiance != 0.0, axis=-1) & mask
+    got_light = radiance.any_nonzero() & mask
     pdf = pdf / _F32(max(1, int(has_analytic) + int(has_emissive)))  # :161
 
-    tview = to_tangent(view_world, hit.tangent, hit.bitangent, hit.normal)
-    tlight = to_tangent(light_dir, hit.tangent, hit.bitangent, hit.normal)
+    tview = v3_to_tangent(view_world, hit.tangent, hit.bitangent, hit.normal)
+    tlight = v3_to_tangent(light_dir, hit.tangent, hit.bitangent, hit.normal)
     bsdf_val = material_bsdf(hit, wavelength, tview, tlight)
-    mis = jnp.where(
-        delta, 1.0, _balance(pdf, material_pdf(hit, tview, tlight))
+    mis = jnp.where(delta, 1.0, _balance(pdf, material_pdf(hit, tview, tlight)))
+    scale = mis * jnp.abs(hit.normal.dot(light_dir)) / jnp.maximum(pdf, 1e-30)
+    contrib = (radiance * bsdf_val * scale).where(
+        got_light & bsdf_val.any_nonzero(), V3(0.0, 0.0, 0.0)
     )
-    scale = mis * jnp.abs(dot3(hit.normal, light_dir)) / jnp.maximum(pdf, 1e-30)
-    contrib = radiance * bsdf_val * scale[:, None]
-    zero_bsdf = jnp.all(bsdf_val == 0.0, axis=-1)
-    contrib = jnp.where((got_light & ~zero_bsdf)[:, None], contrib, 0.0)
     return contrib, seed, rays
 
 
@@ -486,25 +483,24 @@ def render_sample(
     origin, direction, seed = generate_primary_rays(
         view_inv, proj_inv, width, height, sample_count, lane_idx
     )
-    n = origin.shape[0]
-    alpha_tables = tables.alpha if tables.has_alpha else None
+    n = seed.shape[0]
     preview = jnp.uint32(sample_count) == jnp.uint32(0)
 
     state = dict(
         origin=origin,
         direction=direction,
-        value=jnp.zeros((n, 3), _F32),
-        throughput=jnp.ones((n, 3), _F32),
+        value=V3.splat((0.0, 0.0, 0.0), (n,)),
+        throughput=V3.splat((1.0, 1.0, 1.0), (n,)),
         seed=seed,
         wavelength=jnp.zeros((n,), _F32),
         mat_pdf=jnp.ones((n,), _F32),
         active=jnp.ones((n,), bool),
-        rays=jnp.zeros((), jnp.int64) if jax.config.jax_enable_x64 else jnp.zeros((), jnp.int32),
+        rays=jnp.zeros((), jnp.int32),
     )
 
     def bounce(b, s):
         active = s["active"]
-        n_active = jnp.sum(active, dtype=s["rays"].dtype)
+        n_active = jnp.sum(active, dtype=jnp.int32)
 
         (t, tri, u, v), seed = _closest(
             tables,
@@ -518,7 +514,7 @@ def render_sample(
         hit = eval_hit(tables, s["origin"], s["direction"], t, tri, u, v)
 
         miss = tri < 0
-        is_emissive = jnp.any(hit.mat.emissive != 0.0, axis=-1)
+        is_emissive = hit.mat.emissive.any_nonzero()
         terminal = miss | is_emissive | (b == max_depth) | (preview & (b == 1))
 
         # emissive MIS probe (raygen.rgen:67-73); miss lanes keep weight 1
@@ -527,39 +523,40 @@ def render_sample(
             tables, s["origin"], s["direction"], t_min=EPS, active=probe_mask
         )
         weight = jnp.where(probe_mask, _balance(s["mat_pdf"], pdf_probe), 1.0)
-        add = s["throughput"] * hit.mat.emissive * weight[:, None]
-        value = s["value"] + jnp.where((active & terminal)[:, None], add, 0.0)
+        add = (s["throughput"] * hit.mat.emissive * weight).where(
+            active & terminal, V3(0.0, 0.0, 0.0)
+        )
+        value = s["value"] + add
 
         cont = active & ~terminal
 
         # material sample at this hit (raygen.rgen:79-83)
         view = -s["direction"]
-        tview = to_tangent(view, hit.tangent, hit.bitangent, hit.normal)
+        tview = v3_to_tangent(view, hit.tangent, hit.bitangent, hit.normal)
         d_t, est, pdf_m, _, wl_new, seed_m = sample_material(
             seed, hit, s["wavelength"], tview
         )
         seed = jnp.where(cont, seed_m, seed)
         wavelength = jnp.where(cont, wl_new, s["wavelength"])
-        new_dir = from_tangent(d_t, hit.tangent, hit.bitangent, hit.normal)
-        throughput = jnp.where(cont[:, None], s["throughput"] * est, s["throughput"])
+        new_dir = v3_from_tangent(d_t, hit.tangent, hit.bitangent, hit.normal)
+        throughput = (s["throughput"] * est).where(cont, s["throughput"])
         mat_pdf = jnp.where(cont, pdf_m, s["mat_pdf"])
-        alive = cont & jnp.any(throughput != 0.0, axis=-1)  # raygen.rgen:84
+        alive = cont & throughput.any_nonzero()  # raygen.rgen:84
 
-        off_sign = jnp.where(dot3(hit.normal, new_dir) >= 0.0, 1.0, -1.0)
-        new_origin = hit.pos + (off_sign * BIAS)[:, None] * hit.normal
-        origin = jnp.where(cont[:, None], new_origin, s["origin"])
-        direction = jnp.where(cont[:, None], new_dir, s["direction"])
+        off = jnp.where(hit.normal.dot(new_dir) >= 0.0, BIAS, -BIAS)
+        new_origin = hit.pos + hit.normal * off
+        origin = new_origin.where(cont, s["origin"])
+        direction = new_dir.where(cont, s["direction"])
 
         # NEE for surviving lanes (raygen.rgen:54-56 semantics: throughput
         # already includes this hit's estimator; runs before the next trace)
         light, seed, nee_rays = sample_lights(
             tables, hit, wavelength, view, seed, alive
         )
-        value = value + jnp.where(alive[:, None], throughput * light, 0.0)
+        value = value + (throughput * light).where(alive, V3(0.0, 0.0, 0.0))
 
         # ray accounting: material rays + NEE rays + terminal emissive probes
-        n_probe = jnp.sum(probe_mask, dtype=s["rays"].dtype)
-        rays = s["rays"] + n_active + n_probe + nee_rays.astype(s["rays"].dtype)
+        rays = s["rays"] + n_active + jnp.sum(probe_mask, dtype=jnp.int32) + nee_rays
 
         return dict(
             origin=origin,
@@ -574,4 +571,4 @@ def render_sample(
         )
 
     out = jax.lax.fori_loop(0, max_depth + 1, bounce, state)
-    return out["value"], out["rays"]
+    return out["value"].to_array(), out["rays"]

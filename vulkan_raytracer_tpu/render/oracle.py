@@ -99,18 +99,22 @@ class OracleScene:
 
     def __init__(self, tables):
         g = lambda x: np.asarray(x, F)
-        self.v0, self.v1, self.v2 = g(tables.tri_v0), g(tables.tri_v1), g(tables.tri_v2)
+
+        def gv3(v):  # component V3 -> (K, 3)
+            return np.stack([g(v.x), g(v.y), g(v.z)], axis=-1)
+
+        self.v0, self.v1, self.v2 = gv3(tables.v0), gv3(tables.v1), gv3(tables.v2)
         self.e1, self.e2 = self.v1 - self.v0, self.v2 - self.v0
-        self.tri_n = g(tables.tri_n)
+        self.tri_n = np.stack([gv3(tables.n0), gv3(tables.n1), gv3(tables.n2)], axis=1)
         self.tri_mat = np.asarray(tables.tri_mat)
         m = tables.materials
-        self.base = g(m.base_colour)[:, :3]
+        self.base = gv3(m.base_colour)
         self.emissive = g(m.emissive)
         self.metallic = g(m.metallic)
         self.rough = g(m.roughness)
         self.transmission = g(m.transmission)
         self.thin = np.asarray(m.thin)
-        self.atten = g(m.attenuation)
+        self.atten = gv3(m.attenuation)
         self.ior = g(m.ior)
         self.dispersion = g(m.dispersion)
         self.em_cdf = g(tables.em_cdf)
@@ -120,9 +124,9 @@ class OracleScene:
         self.num_emissive = tables.num_emissive_tris
         self.num_point = tables.num_point
         self.num_directional = tables.num_directional
-        self.pl_pos, self.pl_colour = g(tables.pl_pos), g(tables.pl_colour)
+        self.pl_pos, self.pl_colour = gv3(tables.pl_pos), gv3(tables.pl_colour)
         self.pl_intensity, self.pl_range = g(tables.pl_intensity), g(tables.pl_range)
-        self.dl_dir, self.dl_colour = g(tables.dl_dir), g(tables.dl_colour)
+        self.dl_dir, self.dl_colour = gv3(tables.dl_dir), gv3(tables.dl_colour)
         self.dl_intensity = g(tables.dl_intensity)
         self.skybox = g(tables.skybox)
         self.skybox_strength = F(np.asarray(tables.skybox_strength))

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.bvh import ThreadedBVH, build_bvh
+from ..ops.math3 import V3
 from ..ops.traverse import AlphaTables, EmissivePDFTables
 from ..utils import logging as log
 from . import gltf as gltf_mod
@@ -128,15 +129,22 @@ class SceneObject:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MaterialTable:
-    """SoA material table — the device mirror of SSBO binding 6."""
+    """SoA material table — the device mirror of SSBO binding 6.
 
-    base_colour: jax.Array  # (M, 4)
-    emissive: jax.Array  # (M, 3)
+    Every column is a flat (M,) array (V3 = three flat arrays): per-lane
+    material fetches then lower to cheap 1-D gathers (multi-dim gathers are
+    orders of magnitude slower on TPU).
+    """
+
+    base_colour: V3  # (M,) rgb
+    base_alpha: jax.Array  # (M,) baseColourFactor.a
+    emissive: jax.Array  # (M, 3) kept 2-D for whole-table reductions
+    emissive_v: V3  # (M,) rgb — the gatherable form
     metallic: jax.Array  # (M,)
     roughness: jax.Array  # (M,)
     transmission: jax.Array  # (M,)
     thin: jax.Array  # (M,) bool — thicknessFactor == 0 (hit.rchit:98)
-    attenuation: jax.Array  # (M, 3)
+    attenuation: V3  # (M,)
     ior: jax.Array  # (M,)
     aniso_strength: jax.Array  # (M,)
     aniso_rotation: jax.Array  # (M,)
@@ -153,29 +161,35 @@ class SceneTables:
     TLAS/BLAS -> ``bvh``/``ebvh``; SSBOs 5-10 -> the arrays below; bindless
     texture array -> ``tex_data``/``tex_size`` (padded stack).
     Counts gate code paths statically, like specialising the pipeline.
+    Per-triangle data is stored as flat (T,) component columns so every
+    per-lane fetch is a fast 1-D gather.
     """
 
-    # triangles, flattened world space, scene order
-    tri_v0: jax.Array  # (T, 3)
-    tri_v1: jax.Array
-    tri_v2: jax.Array
-    tri_n: jax.Array  # (T, 3, 3) unnormalised world vertex normals
-    tri_tg: jax.Array  # (T, 3, 3) world tangents (xyz)
-    tri_tg_sign: jax.Array  # (T,) tangent w of vertex 0 (hit.rchit:46)
-    tri_uv: jax.Array  # (T, 3, 2)
+    # triangles, flattened world space, scene order — V3 of (T,) columns
+    v0: V3
+    v1: V3
+    v2: V3
+    n0: V3  # unnormalised world vertex normals
+    n1: V3
+    n2: V3
+    tg0: V3  # world tangents (xyz)
+    tg1: V3
+    tg2: V3
+    tg_sign: jax.Array  # (T,) tangent w of vertex 0 (hit.rchit:46)
+    uv: jax.Array  # (T, 6) [u0 v0 u1 v1 u2 v2] (texture path only)
     tri_mat: jax.Array  # (T,) i32
 
     materials: MaterialTable
     alpha: AlphaTables  # per-tri alpha test data for traversal
 
-    # lights (SSBOs 7-10)
-    pl_pos: jax.Array  # (P, 3)
-    pl_colour: jax.Array  # (P, 3)
-    pl_intensity: jax.Array  # (P,)
-    pl_range: jax.Array  # (P,)
-    dl_dir: jax.Array  # (D, 3)
-    dl_colour: jax.Array  # (D, 3)
-    dl_intensity: jax.Array  # (D,)
+    # lights (SSBOs 7-10) — V3 of (P,)/(D,) columns
+    pl_pos: V3
+    pl_colour: V3
+    pl_intensity: jax.Array
+    pl_range: jax.Array
+    dl_dir: V3
+    dl_colour: V3
+    dl_intensity: jax.Array
 
     # emissive-triangle CDF (scene.cpp:450-459, normalised :288-292)
     em_cdf: jax.Array  # (Te,) cumulative, last == 1
@@ -204,7 +218,7 @@ class SceneTables:
 
     @property
     def num_triangles(self) -> int:
-        return self.tri_v0.shape[0]
+        return self.v0.x.shape[0]
 
 
 # ---------------------------------------------------------------------------
@@ -518,16 +532,26 @@ class Scene:
         tri_mat = np.concatenate(mat_tris)
 
         mats = self.materials or [Material()]
+
+        def vcol(rows):  # list of (3,) -> V3 of (M,)
+            a = np.stack(rows).astype(np.float32)
+            return V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+        emissive_np = np.stack([m.emissive_factor for m in mats]).astype(np.float32)
         mt = MaterialTable(
-            base_colour=jnp.asarray(np.stack([m.base_colour_factor for m in mats])),
-            emissive=jnp.asarray(np.stack([m.emissive_factor for m in mats])),
+            base_colour=vcol([m.base_colour_factor[:3] for m in mats]),
+            base_alpha=jnp.asarray(
+                np.array([m.base_colour_factor[3] for m in mats], np.float32)
+            ),
+            emissive=jnp.asarray(emissive_np),
+            emissive_v=vcol([m.emissive_factor for m in mats]),
             metallic=jnp.asarray(np.array([m.metallic_factor for m in mats], np.float32)),
             roughness=jnp.asarray(np.array([m.roughness_factor for m in mats], np.float32)),
             transmission=jnp.asarray(
                 np.array([m.transmission_factor for m in mats], np.float32)
             ),
             thin=jnp.asarray(np.array([m.thickness_factor == 0.0 for m in mats], bool)),
-            attenuation=jnp.asarray(np.stack([m.attenuation_coefficient for m in mats])),
+            attenuation=vcol([m.attenuation_coefficient for m in mats]),
             ior=jnp.asarray(np.array([m.ior for m in mats], np.float32)),
             aniso_strength=jnp.asarray(
                 np.array([m.anisotropy_strength for m in mats], np.float32)
@@ -607,12 +631,33 @@ class Scene:
 
         bvh = build_bvh(v0, v1, v2, leaf_size=leaf_size)
 
-        def pad(rows, shape, dtype=np.float32):
-            if rows:
-                return jnp.asarray(np.stack(rows).astype(dtype))
-            return jnp.zeros((1,) + shape, dtype)
+        def vcomp(a):  # (K, 3) numpy -> V3 of (K,) device columns
+            a = np.asarray(a, np.float32)
+            return V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+        def light_cols(rows, default):
+            a = (
+                np.stack(rows).astype(np.float32)
+                if rows
+                else np.zeros((1, len(default)), np.float32)
+            )
+            return a
 
         pls, dls = self.point_lights, self.directional_lights
+        pl_pos = light_cols([l.position for l in pls], (0, 0, 0))
+        pl_col = light_cols([l.colour for l in pls], (0, 0, 0))
+        pl_int = (
+            np.array([l.intensity for l in pls], np.float32) if pls else np.zeros(1, np.float32)
+        )
+        pl_rng = (
+            np.array([l.range for l in pls], np.float32) if pls else np.zeros(1, np.float32)
+        )
+        dl_dir = light_cols([l.direction for l in dls], (0, 0, 0))
+        dl_col = light_cols([l.colour for l in dls], (0, 0, 0))
+        dl_int = (
+            np.array([l.intensity for l in dls], np.float32) if dls else np.zeros(1, np.float32)
+        )
+
         skybox = (
             self.skybox if self.skybox is not None else np.zeros((1, 1, 3), np.float32)
         )
@@ -643,24 +688,30 @@ class Scene:
             bvh.num_nodes,
         )
 
+        uv_flat = tri_uv.reshape(tri_uv.shape[0], 6)
+
         return SceneTables(
-            tri_v0=jnp.asarray(v0),
-            tri_v1=jnp.asarray(v1),
-            tri_v2=jnp.asarray(v2),
-            tri_n=jnp.asarray(tri_n),
-            tri_tg=jnp.asarray(tri_tg),
-            tri_tg_sign=jnp.asarray(tri_sign),
-            tri_uv=jnp.asarray(tri_uv),
+            v0=vcomp(v0),
+            v1=vcomp(v1),
+            v2=vcomp(v2),
+            n0=vcomp(tri_n[:, 0]),
+            n1=vcomp(tri_n[:, 1]),
+            n2=vcomp(tri_n[:, 2]),
+            tg0=vcomp(tri_tg[:, 0]),
+            tg1=vcomp(tri_tg[:, 1]),
+            tg2=vcomp(tri_tg[:, 2]),
+            tg_sign=jnp.asarray(tri_sign),
+            uv=jnp.asarray(uv_flat),
             tri_mat=jnp.asarray(tri_mat),
             materials=mt,
             alpha=alpha,
-            pl_pos=pad([l.position for l in pls], (3,)),
-            pl_colour=pad([l.colour for l in pls], (3,)),
-            pl_intensity=pad([l.intensity for l in pls], ()),
-            pl_range=pad([l.range for l in pls], ()),
-            dl_dir=pad([l.direction for l in dls], (3,)),
-            dl_colour=pad([l.colour for l in dls], (3,)),
-            dl_intensity=pad([l.intensity for l in dls], ()),
+            pl_pos=vcomp(pl_pos),
+            pl_colour=vcomp(pl_col),
+            pl_intensity=jnp.asarray(pl_int),
+            pl_range=jnp.asarray(pl_rng),
+            dl_dir=vcomp(dl_dir),
+            dl_colour=vcomp(dl_col),
+            dl_intensity=jnp.asarray(dl_int),
             em_cdf=jnp.asarray(cdf),
             em_tables=em_tables,
             em_tri=jnp.asarray(em_tri),
