@@ -570,5 +570,16 @@ def render_sample(
             rays=rays,
         )
 
-    out = jax.lax.fori_loop(0, max_depth + 1, bounce, state)
+    # while-loop with early exit: once every lane terminated (miss/emissive/
+    # zero throughput) remaining bounces are skipped — the wavefront analogue
+    # of the reference's per-thread `break` (raygen.rgen:64,84)
+    def cond(carry):
+        b, s = carry
+        return (b <= max_depth) & jnp.any(s["active"])
+
+    def body(carry):
+        b, s = carry
+        return b + 1, bounce(b, s)
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return out["value"].to_array(), out["rays"]
