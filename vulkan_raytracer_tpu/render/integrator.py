@@ -56,6 +56,7 @@ from ..ops.math3 import (
     v3_onb,
     v3_to_tangent,
 )
+from ..ops.grid_traverse import grid_closest, grid_shadow
 from ..ops.texture import sample_bilinear_stack, sample_equirect
 from ..ops.traverse import trace_closest, trace_emissive_pdf, trace_shadow
 
@@ -77,9 +78,9 @@ def _closest(tables, o: V3, d: V3, *, t_min, t_max, active, seed):
     if _dense_ok(tables):
         return dense_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active), seed
     alpha = tables.alpha if tables.has_alpha else None
-    return trace_closest(
-        tables.bvh, o.to_array(), d.to_array(), t_min=t_min, t_max=t_max,
-        active=active, seed=seed, alpha=alpha,
+    return grid_closest(
+        tables, tables.grid, o, d, t_min=t_min, t_max=t_max, active=active,
+        seed=seed, alpha=alpha,
     )
 
 
@@ -87,9 +88,9 @@ def _shadow(tables, o: V3, d: V3, *, t_max, active, seed):
     if _dense_ok(tables):
         return dense_shadow(tables, o, d, t_max=t_max, active=active), seed
     alpha = tables.alpha if tables.has_alpha else None
-    return trace_shadow(
-        tables.bvh, o.to_array(), d.to_array(), t_max=t_max, active=active,
-        seed=seed, alpha=alpha,
+    return grid_shadow(
+        tables, tables.grid, o, d, t_max=t_max, active=active, seed=seed,
+        alpha=alpha,
     )
 
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.bvh import ThreadedBVH, build_bvh
+from ..accel.grid import UniformGrid, build_grid
 from ..ops.math3 import V3
 from ..ops.traverse import AlphaTables, EmissivePDFTables
 from ..utils import logging as log
@@ -199,6 +200,7 @@ class SceneTables:
     # acceleration structures
     bvh: ThreadedBVH
     ebvh: ThreadedBVH  # emissive-only (cullMask bit-1 equivalent)
+    grid: UniformGrid  # uniform-grid DDA structure (mid/large scenes)
 
     # environment (binding 11)
     skybox: jax.Array  # (H, W, 3) f32 equirect
@@ -630,6 +632,7 @@ class Scene:
             num_em = 0
 
         bvh = build_bvh(v0, v1, v2, leaf_size=leaf_size)
+        grid = build_grid(v0, v1, v2)
 
         def vcomp(a):  # (K, 3) numpy -> V3 of (K,) device columns
             a = np.asarray(a, np.float32)
@@ -717,6 +720,7 @@ class Scene:
             em_tri=jnp.asarray(em_tri),
             bvh=bvh,
             ebvh=ebvh,
+            grid=grid,
             skybox=jnp.asarray(skybox),
             skybox_strength=jnp.float32(self.skybox_strength),
             tex_data=tex_data,
