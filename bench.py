@@ -35,7 +35,7 @@ TARGET_MRAYS = 150.0  # BASELINE.json north_star
 def main() -> None:
     tables = cornell_box_scene().upload()
     cam = Camera(
-        position=np.array([0.0, 1.0, 3.9]), direction=np.array([0.0, 0.0, -1.0])
+        position=np.array([0.0, 1.0, 2.4]), direction=np.array([0.0, 0.0, -1.0])
     )
     # warm-up / compile (same spp so the timed call hits the compiled program)
     img, _ = render_image(tables, cam, WIDTH, HEIGHT, spp=SPP, max_depth=DEPTH)
