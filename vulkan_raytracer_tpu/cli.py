@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Progressive per-frame loop (prints per-frame timing)")
     p.add_argument("--shard", action="store_true",
                    help="Shard pixels over all visible devices")
+    p.add_argument("--interactive", action="store_true",
+                   help="Terminal viewer with WASD/pan controls (needs a tty)")
     return p
 
 
@@ -176,6 +178,12 @@ def main(argv=None) -> int:
     cam_pos = _parse_floats(args.camera_position, 3, "camera-position", DEFAULT_CAMERA_POS)
     cam_dir = _parse_floats(args.camera_direction, 3, "camera-direction", DEFAULT_CAMERA_DIR)
     camera = Camera(position=cam_pos, direction=cam_dir, aspect=width / height)
+
+    if args.interactive:
+        from .viewer import run_viewer
+
+        run_viewer(tables, camera, min(width, 160), min(height, 120), args.max_ray_depth)
+        return 0
 
     if args.progressive:
         from .render.renderer import Renderer
