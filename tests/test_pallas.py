@@ -1,0 +1,40 @@
+"""Pallas dense-sweep kernel vs the XLA dense fold (interpret mode on CPU)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vulkan_raytracer_tpu.ops.dense import dense_closest
+from vulkan_raytracer_tpu.ops.math3 import V3
+from vulkan_raytracer_tpu.scene.builtin import cornell_box_scene
+
+
+@pytest.fixture
+def interpret():
+    os.environ["VKRT_PALLAS_INTERPRET"] = "1"
+    yield
+    os.environ.pop("VKRT_PALLAS_INTERPRET", None)
+
+
+def test_pallas_closest_matches_dense(interpret):
+    from vulkan_raytracer_tpu.ops.pallas_dense import pallas_closest, pallas_ok
+
+    t = cornell_box_scene().upload()
+    assert pallas_ok(t)
+    r = np.random.default_rng(0)
+    n = 1024  # one tile
+    o = r.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    o[:, 1] += 1.0
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = V3(jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]))
+    dv = V3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]))
+    act = jnp.asarray(np.arange(n) % 5 != 0)
+    tp, trip, up, vp = pallas_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
+    td, trid, ud, vd = dense_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
+    np.testing.assert_array_equal(np.asarray(trip), np.asarray(trid))
+    m = np.asarray(trip) >= 0
+    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(up)[m], np.asarray(ud)[m], atol=1e-5)

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel for the dense closest-hit sweep.
+
+The XLA dense path (:mod:`vulkan_raytracer_tpu.ops.dense`) materialises a
+(T_chunk, N) test matrix per fold step; this kernel instead keeps the whole
+(small) scene resident in scalar memory and streams ray tiles through VMEM:
+each program owns an (8, 128) ray tile, loops over every triangle with its
+nine MT constants read from SMEM (scalar broadcasts are free on the VPU),
+and folds the closest hit in registers — zero HBM traffic between
+triangles, zero padding waste.
+
+Used for scenes up to ``PALLAS_MAX_TRIS`` with no alpha; the XLA dense fold
+covers the rest.  Identical results to dense_closest (same MT math and
+tie-breaking by smallest t; ties on t across triangles resolve to the
+lower triangle id, matching the fold order).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .math3 import v3_gather
+
+#: SMEM row budget: 10 rows x T floats; keep the table comfortably small.
+PALLAS_MAX_TRIS = 1024
+
+_TILE_S, _TILE_L = 8, 128
+_TILE = _TILE_S * _TILE_L
+
+
+def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, t0_ref, tout, triout, n_tris: int, t_min: float):
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_init = t0_ref[:]
+
+    def body(t, carry):
+        t_best, tri_best = carry
+        v0x = tri_ref[0, t]
+        v0y = tri_ref[1, t]
+        v0z = tri_ref[2, t]
+        e1x = tri_ref[3, t]
+        e1y = tri_ref[4, t]
+        e1z = tri_ref[5, t]
+        e2x = tri_ref[6, t]
+        e2y = tri_ref[7, t]
+        e2z = tri_ref[8, t]
+
+        px = d_y * e2z - d_z * e2y
+        py = d_z * e2x - d_x * e2z
+        pz = d_x * e2y - d_y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        near0 = jnp.abs(det) < 1e-12
+        inv = 1.0 / jnp.where(near0, 1.0, det)
+        tx = o_x - v0x
+        ty = o_y - v0y
+        tz = o_z - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (d_x * qx + d_y * qy + d_z * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = (
+            ~near0
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt > t_min)
+            & (tt <= t_best)
+        )
+        # tie-break like the dense fold: first (smallest-id) triangle wins
+        # among equal t; equality with the initial bound is still a hit
+        replace = hit & ((tt < t_best) | (tri_best < 0))
+        return (
+            jnp.where(replace, tt, t_best),
+            jnp.where(replace, t, tri_best),
+        )
+
+    t_best, tri_best = jax.lax.fori_loop(
+        0,
+        n_tris,
+        body,
+        (t_init, jnp.full((_TILE_S, _TILE_L), -1, jnp.int32)),
+    )
+    tout[:] = t_best
+    triout[:] = tri_best
+
+
+@functools.partial(jax.jit, static_argnames=("n_tris", "t_min"))
+def _pallas_sweep(tri_smem, rays, t_init, n_tris, t_min):
+    n_rows = rays[0].shape[0]
+    grid = (n_rows // _TILE_S,)
+    ray_spec = pl.BlockSpec((_TILE_S, _TILE_L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t_best, tri_best = pl.pallas_call(
+        functools.partial(_kernel, n_tris=n_tris, t_min=t_min),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
+        ),
+        interpret=bool(os.environ.get("VKRT_PALLAS_INTERPRET")),
+    )(tri_smem, *rays, t_init)
+    return t_best, tri_best
+
+
+def pallas_ok(tables) -> bool:
+    on_tpu = jax.default_backend() in ("tpu",) or bool(
+        os.environ.get("VKRT_PALLAS_INTERPRET")
+    )
+    return (
+        on_tpu
+        and tables.num_triangles <= PALLAS_MAX_TRIS
+        and not tables.has_alpha
+    )
+
+
+def _tri_table(tables):
+    """(9, Tp) f32 triangle MT constants (padded tris are degenerate)."""
+    v0, v1, v2 = tables.v0, tables.v1, tables.v2
+    return jnp.stack(
+        [
+            v0.x, v0.y, v0.z,
+            v1.x - v0.x, v1.y - v0.y, v1.z - v0.z,
+            v2.x - v0.x, v2.y - v0.y, v2.z - v0.z,
+        ]
+    )
+
+
+def pallas_closest(tables, o, d, *, t_min, t_max, active):
+    """Drop-in for dense_closest on small opaque scenes."""
+    n = o.x.shape[0]
+    n_pad = -(-n // _TILE) * _TILE
+
+    def prep(x, fill=0.0):
+        x = jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        return x.reshape(n_pad // _TILE_L, _TILE_L)
+
+    t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_init = prep(jnp.where(active, t_bound, 0.0))
+    rays = (
+        prep(o.x), prep(o.y), prep(o.z),
+        prep(d.x), prep(d.y), prep(d.z),
+    )
+    tri_smem = _tri_table(tables)
+    t_best, tri_best = _pallas_sweep(
+        tri_smem, rays, t_init, int(tables.num_triangles), float(t_min)
+    )
+    t_best = t_best.reshape(-1)[:n]
+    tri_best = tri_best.reshape(-1)[:n]
+    found = tri_best >= 0
+
+    # recompute (u, v) for the winner (9 flat gathers)
+    ti = jnp.maximum(tri_best, 0)
+    wv0 = v3_gather(tables.v0, ti)
+    e1 = v3_gather(tables.v1, ti) - wv0
+    e2 = v3_gather(tables.v2, ti) - wv0
+    pvec = d.cross(e2)
+    det = e1.dot(pvec)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tvec = o - wv0
+    u = tvec.dot(pvec) * inv
+    v = d.dot(tvec.cross(e1)) * inv
+    return (
+        jnp.where(found, t_best, jnp.inf),
+        tri_best,
+        jnp.where(found, u, 0.0),
+        jnp.where(found, v, 0.0),
+    )

@@ -57,6 +57,7 @@ from ..ops.math3 import (
     v3_to_tangent,
 )
 from ..ops.grid_traverse import grid_closest, grid_shadow
+from ..ops.pallas_dense import pallas_closest, pallas_ok
 from ..ops.texture import sample_bilinear_stack, sample_equirect
 from ..ops.traverse import trace_closest, trace_emissive_pdf, trace_shadow
 
@@ -75,6 +76,8 @@ def _dense_ok(tables) -> bool:
 
 
 def _closest(tables, o: V3, d: V3, *, t_min, t_max, active, seed):
+    if pallas_ok(tables):
+        return pallas_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active), seed
     if _dense_ok(tables):
         return dense_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active), seed
     alpha = tables.alpha if tables.has_alpha else None
@@ -85,6 +88,11 @@ def _closest(tables, o: V3, d: V3, *, t_min, t_max, active, seed):
 
 
 def _shadow(tables, o: V3, d: V3, *, t_max, active, seed):
+    if pallas_ok(tables):
+        _, tri, _, _ = pallas_closest(
+            tables, o, d, t_min=0.0, t_max=t_max, active=active
+        )
+        return (tri >= 0) & active, seed
     if _dense_ok(tables):
         return dense_shadow(tables, o, d, t_max=t_max, active=active), seed
     alpha = tables.alpha if tables.has_alpha else None
