@@ -195,3 +195,20 @@ def test_textured_material_modulation():
     # checker pattern -> strongly bimodal brightness on the floor
     assert lit.size > 50
     assert (lum > np.median(lit) * 3).sum() > 10
+
+
+def test_physical_nee_weighting_brightens_direct_light():
+    """'physical' NEE weighting removes the reference's estimator quirk
+    (raygen.rgen:54-83 scales NEE by the hit's own BSDF sample); the
+    corrected image must be strictly brighter on lit diffuse surfaces."""
+    tables = cornell_box_scene().upload()
+    cam = Camera(position=np.array([0.0, 1.0, 2.4]), direction=np.array([0.0, 0.0, -1.0]))
+    from vulkan_raytracer_tpu.render.renderer import render_image as ri
+
+    ref, _ = ri(tables, cam, 24, 24, spp=4, max_depth=2, tonemap=False)
+    phys, _ = ri(
+        tables, cam, 24, 24, spp=4, max_depth=2, tonemap=False,
+        nee_weighting="physical",
+    )
+    assert phys.mean() > ref.mean() * 1.05
+    assert np.isfinite(phys).all()

@@ -1,0 +1,28 @@
+"""Multi-chip pixel sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from vulkan_raytracer_tpu.parallel.sharding import make_mesh, render_image_sharded
+from vulkan_raytracer_tpu.render.renderer import render_image
+from vulkan_raytracer_tpu.scene.builtin import cornell_box_scene
+from vulkan_raytracer_tpu.scene.camera import Camera
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_matches_single_device():
+    tables = cornell_box_scene().upload()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    cam = Camera(
+        position=np.array([0.0, 1.0, 2.4]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    w = 32
+    h = max(8, n_dev)  # rows divide evenly across devices
+    img_s, rays_s = render_image_sharded(
+        tables, cam, w, h, spp=2, max_depth=2, mesh=mesh, tonemap=False
+    )
+    img_1, rays_1 = render_image(tables, cam, w, h, spp=2, max_depth=2, tonemap=False)
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+    assert rays_s == rays_1

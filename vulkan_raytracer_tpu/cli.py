@@ -102,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard pixels over all visible devices")
     p.add_argument("--interactive", action="store_true",
                    help="Terminal viewer with WASD/pan controls (needs a tty)")
+    p.add_argument("--nee-weighting", choices=("reference", "physical"),
+                   default="reference",
+                   help="NEE estimator: 'reference' replicates the "
+                        "reference's throughput quirk (raygen.rgen:54-83); "
+                        "'physical' is the standard unbiased weighting")
     return p
 
 
@@ -171,6 +176,15 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     width, height = args.resolution
 
+    # debug mode: the analogue of the reference's Vulkan validation layers +
+    # debugPrintf NaN guard in debug builds (application.h:91-104,
+    # lightsample.glsl:169) — abort on the first NaN anywhere in the pipeline
+    if os.environ.get("VKRT_DEBUG"):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+        log.info("VKRT_DEBUG: jax_debug_nans enabled")
+
     scene = load_scene(args)
     with log.Timer("scene upload + BVH build"):
         tables = scene.upload()
@@ -208,7 +222,8 @@ def main(argv=None) -> int:
         from .render.renderer import render_image
 
         img, rays = render_image(
-            tables, camera, width, height, args.spp, args.max_ray_depth
+            tables, camera, width, height, args.spp, args.max_ray_depth,
+            nee_weighting=args.nee_weighting,
         )
     dt = time.perf_counter() - t0
     log.info(

@@ -480,7 +480,8 @@ def sample_lights(tables, hit, wavelength, view_world: V3, seed, mask):
 
 
 def render_sample(
-    tables, view_inv, proj_inv, width, height, sample_count, max_depth, lane_idx=None
+    tables, view_inv, proj_inv, width, height, sample_count, max_depth,
+    lane_idx=None, nee_weighting="reference",
 ):
     """Path-trace one sample for every pixel (or the given pixel lanes).
 
@@ -488,6 +489,13 @@ def render_sample(
     len(lane_idx)); the ray counter tallies every traversal launched on an
     active lane (material + shadow/verify + pdf probes) for the Mrays/s
     benchmark metric.
+
+    ``nee_weighting``: "reference" replicates raygen.rgen:54-83 exactly —
+    the NEE contribution at a hit is scaled by the path throughput
+    *including* that hit's own BSDF sample estimator (an energy quirk of the
+    reference; direct lighting is attenuated by an unrelated lobe sample).
+    "physical" weights NEE by the throughput up to the hit only — the
+    mathematically standard estimator (brighter, unbiased direct light).
     """
     origin, direction, seed = generate_primary_rays(
         view_inv, proj_inv, width, height, sample_count, lane_idx
@@ -562,7 +570,8 @@ def render_sample(
         light, seed, nee_rays = sample_lights(
             tables, hit, wavelength, view, seed, alive
         )
-        value = value + (throughput * light).where(alive, V3(0.0, 0.0, 0.0))
+        nee_throughput = throughput if nee_weighting == "reference" else s["throughput"]
+        value = value + (nee_throughput * light).where(alive, V3(0.0, 0.0, 0.0))
 
         # ray accounting: material rays + NEE rays + terminal emissive probes
         rays = s["rays"] + n_active + jnp.sum(probe_mask, dtype=jnp.int32) + nee_rays

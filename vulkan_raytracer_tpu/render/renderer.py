@@ -30,20 +30,24 @@ from ..scene.scenegraph import SceneTables
 from .integrator import render_sample
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 6))
-def _render_one(tables, view_inv, proj_inv, width, height, sample_count, max_depth):
+@functools.partial(jax.jit, static_argnums=(3, 4, 6), static_argnames=("nee_weighting",))
+def _render_one(tables, view_inv, proj_inv, width, height, sample_count, max_depth,
+                nee_weighting="reference"):
     return render_sample(
-        tables, view_inv, proj_inv, width, height, sample_count, max_depth
+        tables, view_inv, proj_inv, width, height, sample_count, max_depth,
+        nee_weighting=nee_weighting,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _render_batch(tables, view_inv, proj_inv, width, height, max_depth, spp, start_sample):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6), static_argnames=("nee_weighting",))
+def _render_batch(tables, view_inv, proj_inv, width, height, max_depth, spp,
+                  start_sample, nee_weighting="reference"):
     """Sum ``spp`` samples starting at ``start_sample`` in fixed scan order."""
 
     def step(acc, s):
         radiance, rays = render_sample(
-            tables, view_inv, proj_inv, width, height, s, max_depth
+            tables, view_inv, proj_inv, width, height, s, max_depth,
+            nee_weighting=nee_weighting,
         )
         return acc + radiance, rays
 
@@ -70,6 +74,7 @@ def render_image(
     max_depth: int = 5,
     start_sample: int = 1,
     tonemap: bool = True,
+    nee_weighting: str = "reference",
 ):
     """Headless render: returns ((H, W, 3) float array, total_rays).
 
@@ -81,7 +86,7 @@ def render_image(
     view_inv, proj_inv = camera_uniforms(camera)
     acc, rays = _render_batch(
         tables, view_inv, proj_inv, width, height, max_depth, spp,
-        jnp.uint32(start_sample),
+        jnp.uint32(start_sample), nee_weighting=nee_weighting,
     )
     img = acc / jnp.float32(spp)
     if tonemap:

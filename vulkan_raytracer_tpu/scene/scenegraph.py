@@ -311,7 +311,8 @@ class Scene:
         base_texture = len(self.textures)
 
         # meshes (scene.cpp:44-143)
-        for gltf_mesh in g.meshes:
+        for mesh_i, gltf_mesh in enumerate(g.meshes):
+            log.progress_bar(mesh_i + 1, len(g.meshes), text=gltf_mesh.get("name", ""))
             prims: list[Primitive] = []
             for prim in gltf_mesh.get("primitives", []):
                 attrs = prim["attributes"]
@@ -335,13 +336,15 @@ class Scene:
             self.mesh_pool.append(prims)
 
         # materials + 5 KHR extensions (scene.cpp:148-231)
-        for gm in g.materials:
+        for mat_i, gm in enumerate(g.materials):
+            log.progress_bar(mat_i + 1, len(g.materials), text=gm.get("name", ""))
             self.materials.append(self._parse_material(g, gm, base_texture))
         if g.meshes and not g.materials:
             self.materials.append(Material())  # default for material-less prims
 
         # images -> texture pool (scene.cpp:233-243)
-        for img in g.images:
+        for img_i, img in enumerate(g.images):
+            log.progress_bar(img_i + 1, len(g.images), text=img.get("uri", ""))
             self.textures.append(self._load_image(g, img))
 
         # punctual lights (scene.cpp:246-270); poses filled in the node walk
