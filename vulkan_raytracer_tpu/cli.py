@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard pixels over all visible devices")
     p.add_argument("--interactive", action="store_true",
                    help="Terminal viewer with WASD/pan controls (needs a tty)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="Write a jax.profiler trace of the render to DIR "
+                        "(the reference has only a wall-clock frame timer, "
+                        "application.cpp:367)")
     p.add_argument("--nee-weighting", choices=("reference", "physical"),
                    default="reference",
                    help="NEE estimator: 'reference' replicates the "
@@ -211,6 +215,16 @@ def main(argv=None) -> int:
         log.info("wrote %s after %d samples (%d rays)", args.output, args.spp, r.total_rays)
         return 0
 
+    profiler = None
+    if args.trace:
+        import jax
+
+        try:
+            jax.profiler.start_trace(args.trace)
+            profiler = args.trace
+        except Exception as e:  # tunnel/remote backends may not support it
+            log.warn("profiler trace unavailable: %s", e)
+
     t0 = time.perf_counter()
     if args.shard:
         from .parallel.sharding import make_mesh, render_image_sharded
@@ -230,6 +244,11 @@ def main(argv=None) -> int:
         "rendered %dx%d @ %d spp depth %d in %.2fs - %.1f Mrays/s",
         width, height, args.spp, args.max_ray_depth, dt, rays / dt / 1e6,
     )
+    if profiler:
+        import jax
+
+        jax.profiler.stop_trace()
+        log.info("wrote profiler trace to %s", profiler)
     write_png(args.output, img)
     log.info("wrote %s", args.output)
     if args.hdr_output:
