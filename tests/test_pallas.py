@@ -38,3 +38,28 @@ def test_pallas_closest_matches_dense(interpret):
     m = np.asarray(trip) >= 0
     np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(up)[m], np.asarray(ud)[m], atol=1e-5)
+
+
+def test_pallas_emissive_pdf_matches_dense(interpret):
+    from vulkan_raytracer_tpu.ops.dense import dense_emissive_pdf
+    from vulkan_raytracer_tpu.ops.pallas_dense import (
+        pallas_emissive_pdf,
+        pallas_pdf_ok,
+    )
+
+    t = cornell_box_scene().upload()
+    assert pallas_pdf_ok(t)
+    r = np.random.default_rng(4)
+    n = 1024
+    o = r.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    o[:, 1] += 0.5
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] = np.abs(d[:, 1])  # bias toward the ceiling light
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = V3(jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]))
+    dv = V3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]))
+    act = jnp.asarray(np.arange(n) % 3 != 0)
+    pp = pallas_emissive_pdf(t, ov, dv, t_min=1e-7, active=act)
+    pd = dense_emissive_pdf(t, ov, dv, t_min=1e-7, active=act)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(pd), rtol=1e-4, atol=1e-6)
+    assert float(np.asarray(pp).max()) > 0  # some rays hit the light

@@ -173,3 +173,117 @@ def pallas_closest(tables, o, d, *, t_min, t_max, active):
         jnp.where(found, u, 0.0),
         jnp.where(found, v, 0.0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Emissive-pdf probe kernel (shaders/emissivepdf.rahit): accumulate the NEE
+# solid-angle pdf over every emissive triangle along the ray.
+# ---------------------------------------------------------------------------
+
+
+def _pdf_kernel(tri_ref, ox, oy, oz, dx, dy, dz, act_ref, out_ref, n_tris: int, t_min: float):
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    gate = act_ref[:]
+
+    def body(t, pdf):
+        v0x = tri_ref[0, t]
+        v0y = tri_ref[1, t]
+        v0z = tri_ref[2, t]
+        e1x = tri_ref[3, t]
+        e1y = tri_ref[4, t]
+        e1z = tri_ref[5, t]
+        e2x = tri_ref[6, t]
+        e2y = tri_ref[7, t]
+        e2z = tri_ref[8, t]
+        p_delta = tri_ref[9, t]
+        area = tri_ref[10, t]
+        n0x, n0y, n0z = tri_ref[11, t], tri_ref[12, t], tri_ref[13, t]
+        n1x, n1y, n1z = tri_ref[14, t], tri_ref[15, t], tri_ref[16, t]
+        n2x, n2y, n2z = tri_ref[17, t], tri_ref[18, t], tri_ref[19, t]
+
+        px = d_y * e2z - d_z * e2y
+        py = d_z * e2x - d_x * e2z
+        pz = d_x * e2y - d_y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        near0 = jnp.abs(det) < 1e-12
+        inv = 1.0 / jnp.where(near0, 1.0, det)
+        tx = o_x - v0x
+        ty = o_y - v0y
+        tz = o_z - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (d_x * qx + d_y * qy + d_z * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = (
+            ~near0 & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > t_min)
+        )
+        w0 = 1.0 - u - v
+        nx = w0 * n0x + u * n1x + v * n2x
+        ny = w0 * n0y + u * n1y + v * n2y
+        nz = w0 * n0z + u * n1z + v * n2z
+        inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        cosine = jnp.abs(nx * d_x + ny * d_y + nz * d_z) * inv_len
+        contrib = p_delta * tt * tt / jnp.maximum(area * cosine, 1e-30)
+        return pdf + jnp.where(hit, contrib, 0.0)
+
+    pdf = jax.lax.fori_loop(
+        0, n_tris, body, jnp.zeros((_TILE_S, _TILE_L), jnp.float32)
+    )
+    out_ref[:] = pdf * gate
+
+
+@functools.partial(jax.jit, static_argnames=("n_tris", "t_min"))
+def _pallas_pdf_sweep(tri_smem, rays, act, n_tris, t_min):
+    n_rows = rays[0].shape[0]
+    grid = (n_rows // _TILE_S,)
+    ray_spec = pl.BlockSpec((_TILE_S, _TILE_L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_pdf_kernel, n_tris=n_tris, t_min=t_min),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 7,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
+        interpret=bool(os.environ.get("VKRT_PALLAS_INTERPRET")),
+    )(tri_smem, *rays, act)
+
+
+def pallas_pdf_ok(tables) -> bool:
+    on_tpu = jax.default_backend() in ("tpu",) or bool(
+        os.environ.get("VKRT_PALLAS_INTERPRET")
+    )
+    return on_tpu and 0 < tables.num_emissive_tris <= PALLAS_MAX_TRIS
+
+
+def pallas_emissive_pdf(tables, o, d, *, t_min, active):
+    """Drop-in for dense_emissive_pdf on TPU."""
+    em = tables.em_tables
+    et = tables.em_tri
+    ev0 = v3_gather(tables.v0, et)
+    ev1 = v3_gather(tables.v1, et)
+    ev2 = v3_gather(tables.v2, et)
+    tri_smem = jnp.stack(
+        [
+            ev0.x, ev0.y, ev0.z,
+            ev1.x - ev0.x, ev1.y - ev0.y, ev1.z - ev0.z,
+            ev2.x - ev0.x, ev2.y - ev0.y, ev2.z - ev0.z,
+            em.p_delta, jnp.maximum(em.area, 1e-30),
+            em.n0[:, 0], em.n0[:, 1], em.n0[:, 2],
+            em.n1[:, 0], em.n1[:, 1], em.n1[:, 2],
+            em.n2[:, 0], em.n2[:, 1], em.n2[:, 2],
+        ]
+    )
+    n = o.x.shape[0]
+    n_pad = -(-n // _TILE) * _TILE
+
+    def prep(x):
+        return jnp.pad(x, (0, n_pad - n)).reshape(n_pad // _TILE_L, _TILE_L)
+
+    rays = (prep(o.x), prep(o.y), prep(o.z), prep(d.x), prep(d.y), prep(d.z))
+    act = prep(jnp.where(active, 1.0, 0.0))
+    pdf = _pallas_pdf_sweep(
+        tri_smem, rays, act, int(tables.num_emissive_tris), float(t_min)
+    )
+    return pdf.reshape(-1)[:n]

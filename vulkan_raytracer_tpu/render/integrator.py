@@ -57,7 +57,12 @@ from ..ops.math3 import (
     v3_to_tangent,
 )
 from ..ops.grid_traverse import grid_closest, grid_shadow
-from ..ops.pallas_dense import pallas_closest, pallas_ok
+from ..ops.pallas_dense import (
+    pallas_closest,
+    pallas_emissive_pdf,
+    pallas_ok,
+    pallas_pdf_ok,
+)
 from ..ops.texture import sample_bilinear_stack, sample_equirect
 from ..ops.traverse import trace_closest, trace_emissive_pdf, trace_shadow
 
@@ -103,6 +108,8 @@ def _shadow(tables, o: V3, d: V3, *, t_max, active, seed):
 
 
 def _emissive_pdf(tables, o: V3, d: V3, *, t_min, active):
+    if pallas_pdf_ok(tables):
+        return pallas_emissive_pdf(tables, o, d, t_min=t_min, active=active)
     if tables.num_emissive_tris <= 1024:
         return dense_emissive_pdf(tables, o, d, t_min=t_min, active=active)
     return trace_emissive_pdf(
