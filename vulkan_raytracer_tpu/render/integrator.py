@@ -403,7 +403,7 @@ def _sample_emissive(tables, hit, seed, mask):
     # (lightsample.glsl:131) which is below f32 ulp at scene scale and
     # spuriously rejects the target triangle; we use a relative slack —
     # harmless because the hit identity is checked anyway.
-    (t_hit, tri_hit, _, _), seed = _closest(
+    (t_hit, tri_hit, u_hit, v_hit), seed = _closest(
         tables,
         ray_o,
         light_dir,
@@ -412,13 +412,32 @@ def _sample_emissive(tables, hit, seed, mask):
         active=mask,
         seed=seed,
     )
-    visible = mask & (tri_hit == scene_tri)
+    identity = mask & (tri_hit == scene_tri)
+
+    mat_i = jnp.take(tables.tri_mat, jnp.maximum(scene_tri, 0), axis=0)
+    radiance = v3_gather(tables.materials.emissive_v, mat_i)
+    if tables.has_textures:
+        # emissive.rchit:39-41 modulates by the emissive texture sampled at
+        # the verify-hit barycentrics; a black texel leaves instanceHit false
+        tex_e = jnp.take(tables.materials.tex_idx, mat_i, axis=0)[:, 3]
+        w0 = 1.0 - u_hit - v_hit
+        uv_g = jnp.take(tables.uv, jnp.maximum(scene_tri, 0), axis=0)
+        uv_hit = jnp.stack(
+            [
+                w0 * uv_g[:, 0] + u_hit * uv_g[:, 2] + v_hit * uv_g[:, 4],
+                w0 * uv_g[:, 1] + u_hit * uv_g[:, 3] + v_hit * uv_g[:, 5],
+            ],
+            axis=-1,
+        )
+        te = sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_e, uv_hit)
+        radiance = (radiance * V3(te[:, 0], te[:, 1], te[:, 2])).where(
+            tex_e >= 0, radiance
+        )
+    visible = identity & radiance.any_nonzero()
 
     # pdf probe over all emissive surfaces along the ray (lightsample.glsl:136)
     pdf = _emissive_pdf(tables, ray_o, light_dir, t_min=0.0, active=visible)
 
-    mat_i = jnp.take(tables.tri_mat, jnp.maximum(scene_tri, 0), axis=0)
-    radiance = v3_gather(tables.materials.emissive_v, mat_i)
     radiance = radiance.where(visible, V3(0.0, 0.0, 0.0))
     rays = jnp.sum(mask, dtype=jnp.int32) + jnp.sum(visible, dtype=jnp.int32)
     return radiance, light_dir, pdf, seed, rays

@@ -55,14 +55,6 @@ def write_png(path: str | Path, rgb: np.ndarray) -> None:
     Path(path).write_bytes(payload)
 
 
-def _paeth(a, b, c):
-    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
-        np.uint8
-    )
-
-
 def read_png(data: bytes) -> np.ndarray:
     """Decode an 8/16-bit non-interlaced PNG to (H, W, C) uint8/uint16."""
     if data[:8] != _PNG_MAGIC:
@@ -110,20 +102,29 @@ def read_png(data: bytes) -> np.ndarray:
         elif ftype == 2:  # Up
             line = (line.astype(np.int32) + prev) .astype(np.uint8)
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth need sequential bytes
+            # The left neighbour `a` must come from the RECONSTRUCTED row
+            # (`la`), never the raw filtered bytes; pixels are processed in
+            # bpp-wide groups so the x-bpp dependency is honoured while the
+            # bytes within one pixel decode vectorised.
             la = np.zeros(stride, np.uint8)
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+            lf = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(0, stride, bpp):
+                a = la[x - bpp : x].astype(np.int32) if x >= bpp else 0
+                b = pv[x : x + bpp]
                 if ftype == 1:
-                    v = line[x] + a
+                    v = lf[x : x + bpp] + a
                 elif ftype == 3:
-                    v = line[x] + ((int(a) + int(b)) >> 1)
+                    v = lf[x : x + bpp] + ((a + b) >> 1)
                 else:
-                    v = line[x] + _paeth(
-                        np.uint8(a), np.uint8(b), np.uint8(c)
+                    c = pv[x - bpp : x] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
                     )
-                la[x] = np.uint8(v)
+                    v = lf[x : x + bpp] + pred
+                la[x : x + bpp] = (v & 0xFF).astype(np.uint8)
             line = la
         else:
             raise ValueError(f"bad PNG filter {ftype}")
@@ -190,10 +191,35 @@ def read_hdr(path: str | Path) -> np.ndarray:
                         )
                         off += count
                         x += count
-        else:  # flat scanline
-            row = np.frombuffer(payload, np.uint8, w * 4, off).reshape(w, 4)
-            rgbe[y] = row
-            off += w * 4
+        else:  # flat scanline, or old-style RLE (r=g=b=1 repeat records)
+            row = np.frombuffer(payload, np.uint8, min(w * 4, len(payload) - off), off)
+            px = row[: (len(row) // 4) * 4].reshape(-1, 4)
+            has_old_rle = bool(
+                np.any((px[:, 0] == 1) & (px[:, 1] == 1) & (px[:, 2] == 1))
+            )
+            if not has_old_rle and len(row) == w * 4:
+                rgbe[y] = row.reshape(w, 4)
+                off += w * 4
+            else:
+                # sequential decode: (1,1,1,n) repeats the previous pixel n
+                # times, with n left-shifted 8 bits per consecutive record
+                x = 0
+                shift = 0
+                while x < w:
+                    r, g, b, e = payload[off : off + 4]
+                    off += 4
+                    if r == 1 and g == 1 and b == 1:
+                        count = e << (8 * shift)
+                        if x == 0 and y == 0:
+                            raise ValueError("HDR old-RLE repeat with no prior pixel")
+                        prev_px = rgbe[y, x - 1] if x > 0 else rgbe[y - 1, w - 1]
+                        rgbe[y, x : x + count] = prev_px
+                        x += count
+                        shift += 1
+                    else:
+                        rgbe[y, x] = (r, g, b, e)
+                        x += 1
+                        shift = 0
     exp = rgbe[..., 3].astype(np.int32)
     scale = np.where(exp > 0, np.ldexp(1.0, exp - 136), 0.0).astype(np.float32)
     return rgbe[..., :3].astype(np.float32) * scale[..., None]
