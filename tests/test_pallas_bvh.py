@@ -1,0 +1,128 @@
+"""Packet-traversal Pallas kernel vs the dense fold (interpret mode on CPU)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vulkan_raytracer_tpu.ops.dense import dense_closest, dense_shadow
+from vulkan_raytracer_tpu.ops.math3 import V3
+from vulkan_raytracer_tpu.scene.builtin import cornell_box_scene, triangle_soup_scene
+
+
+@pytest.fixture
+def interpret():
+    os.environ["VKRT_PALLAS_INTERPRET"] = "1"
+    yield
+    os.environ.pop("VKRT_PALLAS_INTERPRET", None)
+
+
+def _rays(rng, n, spread=0.9, ylift=1.0):
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    o[:, 1] += ylift
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = V3(jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]))
+    dv = V3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]))
+    return ov, dv
+
+
+def test_packet_closest_matches_dense_cornell(interpret):
+    from vulkan_raytracer_tpu.ops.pallas_bvh import packet_closest, packet_ok
+
+    t = cornell_box_scene().upload()
+    assert packet_ok(t)
+    rng = np.random.default_rng(0)
+    n = 1024
+    ov, dv = _rays(rng, n)
+    act = jnp.asarray(np.arange(n) % 5 != 0)
+    tp, trip, up, vp = packet_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
+    td, trid, ud, vd = dense_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
+    # exact-t ties on shared edges may resolve to a different (equally
+    # correct) winner: dense breaks by lowest id, the walk by leaf order
+    trip_n, trid_n = np.asarray(trip), np.asarray(trid)
+    np.testing.assert_array_equal(trip_n >= 0, trid_n >= 0)
+    m = trip_n >= 0
+    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-5)
+    same = trip_n == trid_n
+    assert same[m].mean() > 0.995
+    np.testing.assert_allclose(
+        np.asarray(up)[m & same], np.asarray(ud)[m & same], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(vp)[m & same], np.asarray(vd)[m & same], atol=1e-5
+    )
+
+
+def test_packet_closest_matches_dense_soup(interpret):
+    """Soup big enough for multiple node and triangle chunks + 2 ray tiles."""
+    from vulkan_raytracer_tpu.ops.pallas_bvh import packet_closest
+
+    t = triangle_soup_scene(n_tris=3000, seed=3).upload()
+    assert t.bvh.num_nodes > 512  # crosses node-chunk boundaries
+    rng = np.random.default_rng(1)
+    n = 2048
+    ov, dv = _rays(rng, n, spread=1.5, ylift=0.0)
+    act = jnp.asarray(np.ones(n, bool))
+    tp, trip, up, vp = packet_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
+    td, trid, ud, vd = dense_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
+    # dense breaks t-ties by lowest id; the packet walk visits leaves in BVH
+    # order, so compare by t and verify ids where t is unique
+    np.testing.assert_array_equal(np.asarray(trip) >= 0, np.asarray(trid) >= 0)
+    m = np.asarray(trip) >= 0
+    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-5)
+    same = np.asarray(trip) == np.asarray(trid)
+    assert same[m].mean() > 0.999  # identical winners except fp-tie noise
+    np.testing.assert_allclose(
+        np.asarray(up)[m & same], np.asarray(ud)[m & same], atol=1e-5
+    )
+
+
+def test_packet_shadow_matches_dense(interpret):
+    from vulkan_raytracer_tpu.ops.pallas_bvh import packet_shadow
+
+    t = triangle_soup_scene(n_tris=900, seed=5).upload()
+    rng = np.random.default_rng(2)
+    n = 1024
+    ov, dv = _rays(rng, n, spread=1.2, ylift=0.0)
+    act = jnp.asarray(np.arange(n) % 4 != 0)
+    t_max = jnp.asarray(rng.uniform(0.1, 4.0, n).astype(np.float32))
+    occ_p = packet_shadow(t, ov, dv, t_max=t_max, active=act)
+    occ_d = dense_shadow(t, ov, dv, t_max=t_max, active=act)
+    np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_d))
+
+
+def test_packet_end_to_end_render_matches(interpret, monkeypatch):
+    """Full render through the packet path (forced) vs the dense path."""
+    import jax.numpy as jnp_
+    from vulkan_raytracer_tpu.render.integrator import render_sample
+    from vulkan_raytracer_tpu.scene.camera import Camera
+
+    t = cornell_box_scene().upload()
+    cam = Camera(
+        position=np.array([0.0, 1.0, 3.0]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    vi = jnp_.asarray(cam.view_inverse())
+    pi = jnp_.asarray(cam.projection_inverse())
+
+    ref, rays_ref = render_sample(t, vi, pi, 32, 32, 3, 3)
+    monkeypatch.setenv("VKRT_FORCE_PACKET", "1")
+    got, rays_got = render_sample(t, vi, pi, 32, 32, 3, 3)
+    # identical RNG streams; only t-tie winners may differ at box edges
+    diff = np.abs(np.asarray(ref) - np.asarray(got))
+    assert (diff.max(-1) < 1e-5).mean() > 0.995
+    assert float(np.median(diff)) < 1e-7
+
+
+def test_packet_dead_lanes_cheap_and_correct(interpret):
+    """All-inactive input returns all-miss without touching leaf data."""
+    from vulkan_raytracer_tpu.ops.pallas_bvh import packet_closest
+
+    t = cornell_box_scene().upload()
+    rng = np.random.default_rng(7)
+    ov, dv = _rays(rng, 1024)
+    act = jnp.zeros(1024, bool)
+    tp, trip, _, _ = packet_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
+    assert np.all(np.asarray(trip) == -1)
+    assert np.all(np.isinf(np.asarray(tp)))

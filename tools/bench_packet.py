@@ -1,0 +1,122 @@
+"""Standalone packet-kernel micro-benchmark on the real TPU chip.
+
+Times closest-hit traversal over a large triangle soup for (a) coherent
+camera-style rays and (b) incoherent random rays.  Run directly:
+``python tools/bench_packet.py [n_tris] [res]``.
+"""
+
+import sys
+import time
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from vulkan_raytracer_tpu.accel.bvh import build_bvh
+from vulkan_raytracer_tpu.ops.math3 import V3
+from vulkan_raytracer_tpu.ops.pallas_bvh import build_packet_bvh, packet_closest
+
+
+def make_soup(n_tris, seed=0, extent=10.0, size=0.15):
+    r = np.random.default_rng(seed)
+    base = r.uniform(-extent, extent, (n_tris, 3)).astype(np.float32)
+    offs = r.normal(0, size, (n_tris, 2, 3)).astype(np.float32)
+    return base, base + offs[:, 0], base + offs[:, 1]
+
+
+def camera_rays(res, origin=(0, 0, 30.0), fov_deg=50.0, swizzle=False):
+    xs = np.linspace(-1, 1, res, dtype=np.float32)
+    u, v = np.meshgrid(xs, xs)
+    s = np.tan(np.deg2rad(fov_deg) / 2)
+    d = np.stack([u.ravel() * s, v.ravel() * s, -np.ones(res * res, np.float32)], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.tile(np.asarray(origin, np.float32), (res * res, 1))
+    if swizzle:  # 32x32 pixel blocks -> one packet per square beam
+        idx = np.arange(res * res)
+        px, py = idx % res, idx // res
+        key = ((py // 32) * (res // 32) + (px // 32)) * 1024 + (py % 32) * 32 + (px % 32)
+        order = np.argsort(key)
+        o, d = o[order], d[order]
+    return o, d
+
+
+def random_rays(n, extent=10.0, seed=1):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+REPS = 8  # traces per timed call (amortises the ~33 ms axon fetch floor)
+
+
+def time_trace(tables, o, d, label):
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+    act = jnp.ones((o.shape[0],), bool)
+
+    @jax.jit
+    def run(ov, dv):
+        # perturb origins per rep so XLA cannot hoist the trace out
+        def step(acc, k):
+            o2 = V3(ov.x + 1e-6 * k.astype(jnp.float32), ov.y, ov.z)
+            t, tri, u, v = packet_closest(
+                tables, o2, dv, t_min=1e-4, t_max=1e32, active=act
+            )
+            return acc + jnp.sum(tri >= 0), tri
+
+        acc, tri = jax.lax.scan(step, jnp.int32(0), jnp.arange(REPS))
+        return acc, tri[-1]
+
+    t0 = time.perf_counter()
+    acc, tri = run(ov, dv)
+    acc = np.asarray(acc)
+    t_compile = time.perf_counter() - t0
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        np.asarray(run(ov, dv)[0])
+        times.append(time.perf_counter() - t0)
+    floor = 0.033  # measured axon fetch floor
+    best = max(min(times) - floor, 1e-9) / REPS
+    n = o.shape[0]
+    hit_frac = float(np.asarray(acc)) / REPS / n
+    print(
+        f"{label}: {n} rays, first {t_compile:.1f}s, {best*1e3:.2f} ms/trace "
+        f"-> {n/best/1e6:.2f} Mrays/s (hit {hit_frac:.2%})"
+    )
+    return best
+
+
+def main():
+    n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
+    res = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    print("backend:", jax.default_backend())
+
+    v0, v1, v2 = make_soup(n_tris)
+    t0 = time.perf_counter()
+    bvh = build_bvh(v0, v1, v2)
+    print(f"BVH: {bvh.num_nodes} nodes in {time.perf_counter()-t0:.2f}s")
+    pb = build_packet_bvh(bvh)
+    tables = types.SimpleNamespace(
+        bvh=bvh,
+        pbvh=pb,
+        v0=V3(*(jnp.asarray(v0[:, k]) for k in range(3))),
+        v1=V3(*(jnp.asarray(v1[:, k]) for k in range(3))),
+        v2=V3(*(jnp.asarray(v2[:, k]) for k in range(3))),
+    )
+
+    o, d = camera_rays(res)
+    time_trace(tables, o, d, f"coherent rowmajor {res}x{res}")
+    o, d = camera_rays(res, swizzle=True)
+    time_trace(tables, o, d, f"coherent 32x32-swizzled {res}x{res}")
+    o, d = random_rays(res * res)
+    time_trace(tables, o, d, "incoherent")
+
+
+if __name__ == "__main__":
+    main()

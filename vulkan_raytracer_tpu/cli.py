@@ -22,6 +22,7 @@ from pathlib import Path
 import numpy as np
 
 from .scene.builtin import cornell_box_scene, glass_sphere_scene, triangle_soup_scene
+from .scene.procedural import chess_scene, dragon_scene, hall_scene
 from .scene.camera import Camera
 from .scene.gltf import quat_to_mat4
 from .scene.scenegraph import Scene
@@ -38,6 +39,9 @@ BUILTIN_SCENES = {
     "cornell": cornell_box_scene,
     "soup": triangle_soup_scene,
     "glass": glass_sphere_scene,
+    "hall": hall_scene,  # Sponza-class (BASELINE config 4 stand-in)
+    "dragon": dragon_scene,  # high-poly mesh (config 2 stand-in)
+    "chess": chess_scene,  # transmission scene (config 3 stand-in)
 }
 
 

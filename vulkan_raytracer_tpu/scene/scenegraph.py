@@ -32,6 +32,7 @@ import numpy as np
 from ..accel.bvh import ThreadedBVH, build_bvh
 from ..accel.grid import UniformGrid, build_grid
 from ..ops.math3 import V3
+from ..ops.pallas_bvh import PacketBVH, build_packet_bvh
 from ..ops.traverse import AlphaTables, EmissivePDFTables
 from ..utils import logging as log
 from . import gltf as gltf_mod
@@ -201,6 +202,7 @@ class SceneTables:
     bvh: ThreadedBVH
     ebvh: ThreadedBVH  # emissive-only (cullMask bit-1 equivalent)
     grid: UniformGrid  # uniform-grid DDA structure (mid/large scenes)
+    pbvh: PacketBVH  # stream-layout BVH for the Pallas packet kernel
 
     # environment (binding 11)
     skybox: jax.Array  # (H, W, 3) f32 equirect
@@ -284,6 +286,40 @@ class Scene:
         self.object_count += 1
         self.max_depth = max(self.max_depth, node.depth)
         return node
+
+    def add_raw_mesh(
+        self,
+        positions: np.ndarray,
+        normals: np.ndarray,
+        indices: np.ndarray,
+        material: Material,
+        transform: np.ndarray | None = None,
+    ) -> None:
+        """Register a raw triangle mesh as a single-primitive node.
+
+        Programmatic analogue of loading a one-primitive glTF model; used by
+        the builtin and procedural scene generators.  The material object is
+        deduplicated by identity.
+        """
+        try:
+            mat_idx = next(
+                i for i, m in enumerate(self.materials) if m is material
+            )
+        except StopIteration:
+            mat_idx = len(self.materials)
+            self.materials.append(material)
+        nv = positions.shape[0]
+        prim = Primitive(
+            positions=np.asarray(positions, np.float32),
+            normals=np.asarray(normals, np.float32),
+            tangents=np.zeros((nv, 4), np.float32),
+            uvs=np.zeros((nv, 2), np.float32),
+            indices=np.asarray(indices, np.uint32),
+            material=mat_idx,
+        )
+        self.mesh_pool.append([prim])
+        t = np.eye(4, dtype=np.float32) if transform is None else transform
+        self.add_node(self.root, t, mesh=len(self.mesh_pool) - 1)
 
     def iter_depth_first(self):
         """DFS preorder over the tree without recursion.
@@ -724,6 +760,7 @@ class Scene:
             bvh=bvh,
             ebvh=ebvh,
             grid=grid,
+            pbvh=build_packet_bvh(bvh),
             skybox=jnp.asarray(skybox),
             skybox_strength=jnp.float32(self.skybox_strength),
             tex_data=tex_data,
