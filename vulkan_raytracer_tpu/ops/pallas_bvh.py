@@ -140,7 +140,6 @@ def _kernel(
     lf_s,
     base_s,
     tmax_s,
-    cnt_s,
     tb_ref,
     sb_ref,
     sems,
@@ -157,7 +156,6 @@ def _kernel(
     sb_ref[:] = jnp.full((_TILE_S, _TILE_L), -1, jnp.int32)
     base_s[0] = _NEG_BIG  # node chunk base
     base_s[1] = _NEG_BIG  # leaf chunk base
-    cnt_s[0] = 0
     # running scalar t upper bound across live lanes (dead lanes carry -1)
     tmax_s[0] = jnp.max(tb_ref[:])
 
@@ -301,15 +299,11 @@ def _kernel(
             # -1, shrinking it toward early exit)
             tmax_s[0] = jnp.max(tb_v)
 
-        cnt_s[0] = cnt_s[0] + 1
         return jnp.where(any_hit & ~is_leaf, cur + 1, miss)
 
     jax.lax.while_loop(lambda cur: cur < end, body, jnp.int32(0))
     tout[:] = tb_ref[:]
-    if os.environ.get("VKRT_PKT_COUNT"):
-        slotout[:] = jnp.full((_TILE_S, _TILE_L), cnt_s[0], jnp.int32)
-    else:
-        slotout[:] = sb_ref[:]
+    slotout[:] = sb_ref[:]
 
 
 @functools.partial(
@@ -339,7 +333,6 @@ def _packet_sweep(pb_arrays, rays, t_init, end, leaf_size, t_min, shadow):
             pltpu.SMEM((9 * leaf_size, LEAF_CHUNK), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((1,), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((_TILE_S, _TILE_L), jnp.float32),
             pltpu.VMEM((_TILE_S, _TILE_L), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
