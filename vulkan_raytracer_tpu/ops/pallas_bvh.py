@@ -133,6 +133,7 @@ def _kernel(
     dx,
     dy,
     dz,
+    tlo_ref,
     t0_ref,
     tout,
     slotout,
@@ -146,11 +147,11 @@ def _kernel(
     *,
     end: int,
     leaf_size: int,
-    t_min: float,
     shadow: bool,
 ):
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_lo = tlo_ref[:]
 
     tb_ref[:] = t0_ref[:]
     sb_ref[:] = jnp.full((_TILE_S, _TILE_L), -1, jnp.int32)
@@ -228,7 +229,7 @@ def _kernel(
         n_x, f_x = axis_bounds(bmin_x, bmax_x, o_lo_x, o_hi_x, ia_x, ib_x)
         n_y, f_y = axis_bounds(bmin_y, bmax_y, o_lo_y, o_hi_y, ia_y, ib_y)
         n_z, f_z = axis_bounds(bmin_z, bmax_z, o_lo_z, o_hi_z, ia_z, ib_z)
-        t_near = jnp.maximum(jnp.maximum(n_x, n_y), jnp.maximum(n_z, jnp.float32(t_min)))
+        t_near = jnp.maximum(jnp.maximum(n_x, n_y), jnp.maximum(n_z, jnp.float32(0.0)))
         t_far = jnp.minimum(jnp.minimum(f_x, f_y), jnp.minimum(f_z, tmax_s[0]))
         # all-dead tiles: tmax = -1 -> t_far < 0 <= t_near, never descend
         any_hit = t_near <= t_far
@@ -279,7 +280,7 @@ def _kernel(
                     & (u >= 0.0)
                     & (v >= 0.0)
                     & (u + v <= 1.0)
-                    & (tt > t_min)
+                    & (tt > t_lo)
                     & (tt <= tb_v)
                 )
                 if shadow:
@@ -307,9 +308,9 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("end", "leaf_size", "t_min", "shadow")
+    jax.jit, static_argnames=("end", "leaf_size", "shadow")
 )
-def _packet_sweep(pb_arrays, rays, t_init, end, leaf_size, t_min, shadow):
+def _packet_sweep(pb_arrays, rays, t_lo, t_init, end, leaf_size, shadow):
     nodes, leaves = pb_arrays
     n_rows = rays[0].shape[0]
     grid = (n_rows // _TILE_S,)
@@ -319,10 +320,10 @@ def _packet_sweep(pb_arrays, rays, t_init, end, leaf_size, t_min, shadow):
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         functools.partial(
-            _kernel, end=end, leaf_size=leaf_size, t_min=t_min, shadow=shadow
+            _kernel, end=end, leaf_size=leaf_size, shadow=shadow
         ),
         grid=grid,
-        in_specs=[any_spec] * 2 + [ray_spec] * 7,
+        in_specs=[any_spec] * 2 + [ray_spec] * 8,
         out_specs=(ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
@@ -338,7 +339,7 @@ def _packet_sweep(pb_arrays, rays, t_init, end, leaf_size, t_min, shadow):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=bool(os.environ.get("VKRT_PALLAS_INTERPRET")),
-    )(nodes, leaves, *rays, t_init)
+    )(nodes, leaves, *rays, t_lo, t_init)
 
 
 def packet_ok(tables) -> bool:
@@ -360,18 +361,24 @@ def _prep_rays(o, d, t_init_flat):
 
 
 def packet_closest(tables, o, d, *, t_min, t_max, active):
-    """Drop-in for dense_closest/trace_closest on big opaque scenes."""
+    """Drop-in for dense_closest/trace_closest on big scenes.
+
+    Alpha-agnostic (every triangle is a candidate); ``t_min`` may be a
+    scalar or per-lane (N,) array for the alpha resample loop.
+    """
     pb: PacketBVH = tables.pbvh
     n = o.x.shape[0]
     t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     rays, t_init, _ = _prep_rays(o, d, jnp.where(active, t_bound, -1.0))
+    t_lo = jnp.pad(t_lo, (0, t_init.size - n)).reshape(t_init.shape)
     t_best, slot = _packet_sweep(
         (pb.nodes, pb.leaves),
         rays,
+        t_lo,
         t_init,
         int(pb.num_nodes),
         int(pb.leaf_size),
-        float(t_min),
         False,
     )
     t_best = t_best.reshape(-1)[:n]
@@ -405,13 +412,14 @@ def packet_shadow(tables, o, d, *, t_max, active):
     n = o.x.shape[0]
     t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     rays, t_init, _ = _prep_rays(o, d, jnp.where(active, t_bound, -1.0))
+    t_lo = jnp.zeros_like(t_init)
     _, slot = _packet_sweep(
         (pb.nodes, pb.leaves),
         rays,
+        t_lo,
         t_init,
         int(pb.num_nodes),
         int(pb.leaf_size),
-        0.0,
         True,
     )
     slot = slot.reshape(-1)[:n]

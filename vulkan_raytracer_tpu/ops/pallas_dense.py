@@ -33,9 +33,10 @@ _TILE_S, _TILE_L = 8, 128
 _TILE = _TILE_S * _TILE_L
 
 
-def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, t0_ref, tout, triout, n_tris: int, t_min: float):
+def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, tlo_ref, t0_ref, tout, triout, n_tris: int):
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_lo = tlo_ref[:]
     t_init = t0_ref[:]
 
     def body(t, carry):
@@ -70,7 +71,7 @@ def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, t0_ref, tout, triout, n_tris: int, 
             & (u >= 0.0)
             & (v >= 0.0)
             & (u + v <= 1.0)
-            & (tt > t_min)
+            & (tt > t_lo)
             & (tt <= t_best)
         )
         # tie-break like the dense fold: first (smallest-id) triangle wins
@@ -91,22 +92,22 @@ def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, t0_ref, tout, triout, n_tris: int, 
     triout[:] = tri_best
 
 
-@functools.partial(jax.jit, static_argnames=("n_tris", "t_min"))
-def _pallas_sweep(tri_smem, rays, t_init, n_tris, t_min):
+@functools.partial(jax.jit, static_argnames=("n_tris",))
+def _pallas_sweep(tri_smem, rays, t_lo, t_init, n_tris):
     n_rows = rays[0].shape[0]
     grid = (n_rows // _TILE_S,)
     ray_spec = pl.BlockSpec((_TILE_S, _TILE_L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     t_best, tri_best = pl.pallas_call(
-        functools.partial(_kernel, n_tris=n_tris, t_min=t_min),
+        functools.partial(_kernel, n_tris=n_tris),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 8,
         out_specs=(ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
         ),
         interpret=bool(os.environ.get("VKRT_PALLAS_INTERPRET")),
-    )(tri_smem, *rays, t_init)
+    )(tri_smem, *rays, t_lo, t_init)
     return t_best, tri_best
 
 
@@ -114,11 +115,7 @@ def pallas_ok(tables) -> bool:
     on_tpu = jax.default_backend() in ("tpu",) or bool(
         os.environ.get("VKRT_PALLAS_INTERPRET")
     )
-    return (
-        on_tpu
-        and tables.num_triangles <= PALLAS_MAX_TRIS
-        and not tables.has_alpha
-    )
+    return on_tpu and tables.num_triangles <= PALLAS_MAX_TRIS
 
 
 def _tri_table(tables):
@@ -134,7 +131,11 @@ def _tri_table(tables):
 
 
 def pallas_closest(tables, o, d, *, t_min, t_max, active):
-    """Drop-in for dense_closest on small opaque scenes."""
+    """Drop-in for dense_closest on small scenes (alpha-agnostic candidates).
+
+    ``t_min`` may be a scalar or per-lane (N,) array — the alpha resample
+    loop in the integrator re-traces with advancing lower bounds.
+    """
     n = o.x.shape[0]
     n_pad = -(-n // _TILE) * _TILE
 
@@ -143,6 +144,7 @@ def pallas_closest(tables, o, d, *, t_min, t_max, active):
         return x.reshape(n_pad // _TILE_L, _TILE_L)
 
     t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_lo = prep(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,)))
     t_init = prep(jnp.where(active, t_bound, 0.0))
     rays = (
         prep(o.x), prep(o.y), prep(o.z),
@@ -150,7 +152,7 @@ def pallas_closest(tables, o, d, *, t_min, t_max, active):
     )
     tri_smem = _tri_table(tables)
     t_best, tri_best = _pallas_sweep(
-        tri_smem, rays, t_init, int(tables.num_triangles), float(t_min)
+        tri_smem, rays, t_lo, t_init, int(tables.num_triangles)
     )
     t_best = t_best.reshape(-1)[:n]
     tri_best = tri_best.reshape(-1)[:n]

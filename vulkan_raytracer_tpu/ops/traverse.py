@@ -38,8 +38,10 @@ class AlphaTables:
     """Per-original-triangle alpha-test data (material.h:7-8 flattened).
 
     mode: 0=OPAQUE, 1=MASK, 2=BLEND (scene.cpp:169-176); value is the
-    baseColourFactor alpha; cutoff the MASK threshold.  Texture-modulated
-    alpha is handled by the integrator-level resample path (round 2).
+    baseColourFactor alpha; cutoff the MASK threshold.  The render path
+    handles alpha (including texture-modulated alpha) in the integrator's
+    t-ordered resample loop (render/integrator.py:_closest); the in-
+    traversal alpha here remains for the standalone traversal API.
     """
 
     mode: jax.Array  # (T,) i32
@@ -135,6 +137,8 @@ def trace_closest(bvh, o, d, *, t_min, t_max, active, seed=None, alpha=None):
     end = bvh.num_nodes
     inv_d = safe_inv_dir(d)
     t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    # t_min may be per-lane (the integrator's alpha resample loop)
+    t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     if seed is None:
         seed = jnp.zeros((n,), jnp.uint32)
 
@@ -145,13 +149,13 @@ def trace_closest(bvh, o, d, *, t_min, t_max, active, seed=None, alpha=None):
         cur = c["cur"]
         in_node = cur < end
         bmin, bmax, first, miss = _node_fetch(bvh, cur)
-        hit_box = in_node & ray_aabb(o, inv_d, bmin, bmax, t_min, c["t"])
+        hit_box = in_node & ray_aabb(o, inv_d, bmin, bmax, t_lo, c["t"])
         is_leaf = first >= 0
         do_leaf = hit_box & is_leaf
 
         tv0, te1, te2, tid = _leaf_gather(bvh, first)
         hit, t, u, v = ray_triangle(
-            o[:, None, :], d[:, None, :], tv0, te1, te2, t_min, c["t"][:, None]
+            o[:, None, :], d[:, None, :], tv0, te1, te2, t_lo[:, None], c["t"][:, None]
         )
         cand = do_leaf[:, None] & hit & (tid >= 0)
         s = c["seed"]

@@ -81,16 +81,16 @@ _F32 = jnp.float32
 
 
 def _dense_ok(tables) -> bool:
-    return tables.num_triangles <= DENSE_MAX_TRIS and not tables.has_blend
+    return tables.num_triangles <= DENSE_MAX_TRIS
 
 
 def _packet_preferred(tables) -> bool:
-    """Large opaque scenes traverse with the Pallas packet-beam kernel.
+    """Large scenes traverse with the Pallas packet-beam kernel.
 
     ``VKRT_FORCE_PACKET=1`` routes every scene through it (equivalence
     tests and kernel benchmarking on small scenes).
     """
-    if not packet_ok(tables) or tables.has_alpha:
+    if not packet_ok(tables):
         return False
     return (
         tables.num_triangles > DENSE_MAX_TRIS
@@ -98,35 +98,136 @@ def _packet_preferred(tables) -> bool:
     )
 
 
-def _closest(tables, o: V3, d: V3, *, t_min, t_max, active, seed):
+def _closest_opaque(tables, o: V3, d: V3, *, t_min, t_max, active):
+    """Closest hit treating every triangle as a candidate.
+
+    Alpha semantics live in the resample loop of :func:`_closest`, so every
+    traversal backend stays on its fast alpha-free path (round-1 weakness:
+    one BLEND material used to drop whole scenes off the Pallas kernels).
+    ``t_min`` may be per-lane.
+    """
     if _packet_preferred(tables):
-        return packet_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active), seed
+        return packet_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active)
     if pallas_ok(tables):
-        return pallas_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active), seed
+        return pallas_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active)
     if _dense_ok(tables):
-        return dense_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active), seed
-    alpha = tables.alpha if tables.has_alpha else None
-    return grid_closest(
+        return dense_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active)
+    (res, _seed) = grid_closest(
         tables, tables.grid, o, d, t_min=t_min, t_max=t_max, active=active,
-        seed=seed, alpha=alpha,
+        seed=jnp.zeros_like(active, jnp.uint32), alpha=None,
     )
+    return res
+
+
+def _alpha_test(tables, tri, u, v, seed, cand):
+    """Any-hit alpha decision for one candidate per lane (hit.rahit:26-53).
+
+    alpha = baseColourFactor.a x baseColourTexture.a(uv at the candidate's
+    barycentrics); MASK ignores below the cutoff, BLEND ignores with
+    probability 1-alpha (one rnd drawn per BLEND candidate, matching the
+    reference's short-circuit evaluation).  Returns (keep, seed).
+    """
+    ti = jnp.maximum(tri, 0)
+    mode = jnp.take(tables.alpha.mode, ti, axis=0)
+    alpha = jnp.take(tables.alpha.value, ti, axis=0)
+    acut = jnp.take(tables.alpha.cutoff, ti, axis=0)
+    if tables.has_textures:
+        mat_i = jnp.take(tables.tri_mat, ti, axis=0)
+        tex_b = jnp.take(tables.materials.tex_idx, mat_i, axis=0)[:, 0]
+        w0 = 1.0 - u - v
+        uv_g = jnp.take(tables.uv, ti, axis=0)
+        uv = jnp.stack(
+            [
+                w0 * uv_g[:, 0] + u * uv_g[:, 2] + v * uv_g[:, 4],
+                w0 * uv_g[:, 1] + u * uv_g[:, 3] + v * uv_g[:, 5],
+            ],
+            axis=-1,
+        )
+        texel = sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_b, uv)
+        alpha = jnp.where(tex_b >= 0, alpha * texel[:, 3], alpha)
+    is_blend = cand & (mode == 2)
+    u_rnd, seed_adv = rng.rnd(seed)
+    seed = jnp.where(is_blend, seed_adv, seed)
+    ignore = (cand & (mode == 1) & (alpha < acut)) | (is_blend & (u_rnd < 1.0 - alpha))
+    return cand & ~ignore, seed
+
+
+def _closest(tables, o: V3, d: V3, *, t_min, t_max, active, seed):
+    """traceRayEXT closest-hit with any-hit alpha (hit.rahit).
+
+    Alpha-free scenes go straight to the fast opaque traversal.  Scenes
+    with MASK/BLEND materials run an accept/reject resample loop: trace the
+    nearest candidate, evaluate the any-hit alpha test at it, and re-trace
+    past rejected candidates.  Candidates are therefore visited in t-order
+    (Vulkan leaves any-hit invocation order unspecified, so this is a
+    conforming order; the RNG stream differs from a traversal-order
+    interpreter only on multi-BLEND-overlap rays).
+    """
+    if not tables.has_alpha:
+        return _closest_opaque(
+            tables, o, d, t_min=t_min, t_max=t_max, active=active
+        ), seed
+
+    n = o.x.shape[0]
+    init = dict(
+        t_lo=jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,)),
+        pending=active,
+        t=jnp.full((n,), jnp.inf, jnp.float32),
+        tri=jnp.full((n,), -1, jnp.int32),
+        u=jnp.zeros((n,), jnp.float32),
+        v=jnp.zeros((n,), jnp.float32),
+        seed=seed,
+    )
+
+    def cond(c):
+        return jnp.any(c["pending"])
+
+    def body(c):
+        t, tri, u, v = _closest_opaque(
+            tables, o, d, t_min=c["t_lo"], t_max=t_max, active=c["pending"]
+        )
+        found = c["pending"] & (tri >= 0)
+        keep, seed2 = _alpha_test(tables, tri, u, v, c["seed"], found)
+        seed_n = jnp.where(c["pending"], seed2, c["seed"])
+        # accepted hits commit; rejected candidates advance the lower bound
+        # strictly past the candidate (ignoreIntersectionEXT equivalent)
+        t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+        rejected = found & ~keep
+        return dict(
+            t_lo=jnp.where(rejected, t_safe * (1.0 + 4e-7) + 1e-30, c["t_lo"]),
+            pending=rejected,
+            t=jnp.where(keep, t, c["t"]),
+            tri=jnp.where(keep, tri, c["tri"]),
+            u=jnp.where(keep, u, c["u"]),
+            v=jnp.where(keep, v, c["v"]),
+            seed=seed_n,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return (out["t"], out["tri"], out["u"], out["v"]), out["seed"]
 
 
 def _shadow(tables, o: V3, d: V3, *, t_max, active, seed):
-    if _packet_preferred(tables):
-        return packet_shadow(tables, o, d, t_max=t_max, active=active), seed
-    if pallas_ok(tables):
-        _, tri, _, _ = pallas_closest(
-            tables, o, d, t_min=0.0, t_max=t_max, active=active
+    """Occlusion query with shadow.rahit alpha semantics (tMin = 0)."""
+    if not tables.has_alpha:
+        if _packet_preferred(tables):
+            return packet_shadow(tables, o, d, t_max=t_max, active=active), seed
+        if pallas_ok(tables):
+            _, tri, _, _ = pallas_closest(
+                tables, o, d, t_min=0.0, t_max=t_max, active=active
+            )
+            return (tri >= 0) & active, seed
+        if _dense_ok(tables):
+            return dense_shadow(tables, o, d, t_max=t_max, active=active), seed
+        return grid_shadow(
+            tables, tables.grid, o, d, t_max=t_max, active=active, seed=seed,
+            alpha=None,
         )
-        return (tri >= 0) & active, seed
-    if _dense_ok(tables):
-        return dense_shadow(tables, o, d, t_max=t_max, active=active), seed
-    alpha = tables.alpha if tables.has_alpha else None
-    return grid_shadow(
-        tables, tables.grid, o, d, t_max=t_max, active=active, seed=seed,
-        alpha=alpha,
+    # nearest ACCEPTED hit within t_max occludes (alpha resample loop)
+    (t, tri, _, _), seed = _closest(
+        tables, o, d, t_min=0.0, t_max=t_max, active=active, seed=seed
     )
+    return (tri >= 0) & active, seed
 
 
 def _emissive_pdf(tables, o: V3, d: V3, *, t_min, active):
