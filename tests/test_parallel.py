@@ -26,3 +26,21 @@ def test_sharded_matches_single_device():
     img_1, rays_1 = render_image(tables, cam, w, h, spp=2, max_depth=2, tonemap=False)
     np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
     assert rays_s == rays_1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_pads_non_divisible_lane_counts():
+    """25x5 = 125 pixels on 8 devices: padded duplicate lanes are sliced off
+    and the image matches single-device exactly (VERDICT r1 item 9)."""
+    tables = cornell_box_scene().upload()
+    mesh = make_mesh()
+    cam = Camera(
+        position=np.array([0.0, 1.0, 2.4]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    w, h = 25, 5
+    assert (w * h) % len(jax.devices()) != 0
+    img_s, rays_s = render_image_sharded(
+        tables, cam, w, h, spp=2, max_depth=2, mesh=mesh, tonemap=False
+    )
+    img_1, _ = render_image(tables, cam, w, h, spp=2, max_depth=2, tonemap=False)
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)

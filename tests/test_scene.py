@@ -140,3 +140,52 @@ def test_gltf_accessor_interleaved(tmp_path):
     g = GLTF.load(p)
     np.testing.assert_allclose(g.accessor(0), [[1, 2, 3], [4, 5, 6]])
     np.testing.assert_allclose(g.accessor(1), [[0.5, 0.25], [0.75, 1.0]])
+
+
+def test_sparse_accessor_decoding():
+    """glTF 2.0 §3.6.2.3 sparse accessors: base data patched at indices."""
+    import base64
+    import json
+
+    import numpy as np
+
+    from vulkan_raytracer_tpu.scene.gltf import GLTF
+
+    base = np.arange(12, dtype=np.float32).reshape(4, 3)
+    sp_idx = np.array([1, 3], np.uint16)
+    sp_val = np.array([[9, 9, 9], [7, 7, 7]], np.float32)
+    blob = base.tobytes() + sp_idx.tobytes() + sp_val.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(blob),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(blob).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 4},
+            {"buffer": 0, "byteOffset": 52, "byteLength": 24},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3",
+             "sparse": {"count": 2,
+                        "indices": {"bufferView": 1, "componentType": 5123},
+                        "values": {"bufferView": 2}}},
+            # sparse with NO base bufferView (all zeros + patches)
+            {"componentType": 5126, "count": 4, "type": "VEC3",
+             "sparse": {"count": 2,
+                        "indices": {"bufferView": 1, "componentType": 5123},
+                        "values": {"bufferView": 2}}},
+        ],
+    }
+    import json as _json
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as td:
+        p = pathlib.Path(td) / "sparse.gltf"
+        p.write_text(_json.dumps(doc))
+        g = GLTF.load(p)
+        a = g.accessor(0)
+        expect = base.copy(); expect[1] = 9; expect[3] = 7
+        np.testing.assert_array_equal(a, expect)
+        b = g.accessor(1)
+        expect0 = np.zeros((4, 3), np.float32); expect0[1] = 9; expect0[3] = 7
+        np.testing.assert_array_equal(b, expect0)

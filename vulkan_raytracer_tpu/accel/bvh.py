@@ -145,6 +145,72 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 8
     )
 
 
+def refit_bvh(bvh: ThreadedBVH, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> ThreadedBVH:
+    """Cheap AS update: keep topology, recompute AABBs + leaf triangles.
+
+    The equivalent of the reference's AccelerationStructure::update()
+    (accelerationstructure.cpp:26-32, PREFER_FAST_BUILD + allowUpdate):
+    vertex positions moved but the tree structure is reused.  Leaf AABBs
+    come from the new vertices through the existing slot ordering; interior
+    AABBs are unioned bottom-up in reverse preorder (children of interior
+    node ``i`` are ``i+1`` and ``miss[i+1]``, both > i).  Tree quality
+    degrades as geometry drifts — rebuild with build_bvh when it does,
+    exactly like the reference's rebuild()/update() split.
+    """
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    slots = np.asarray(bvh.tri_id)
+    first = np.asarray(bvh.first_tri)
+    miss = np.asarray(bvh.miss)
+    k = bvh.leaf_size
+    n_nodes = bvh.num_nodes
+
+    safe = np.maximum(slots, 0)
+    pad = (slots < 0)[:, None]
+    tv0 = np.where(pad, 0.0, v0[safe]).astype(np.float32)
+    te1 = np.where(pad, 0.0, (v1 - v0)[safe]).astype(np.float32)
+    te2 = np.where(pad, 0.0, (v2 - v0)[safe]).astype(np.float32)
+
+    smin = np.where(pad, np.inf, np.minimum(np.minimum(v0, v1), v2)[safe])
+    smax = np.where(pad, -np.inf, np.maximum(np.maximum(v0, v1), v2)[safe])
+    leaf_min = smin.reshape(-1, k, 3).min(axis=1)
+    leaf_max = smax.reshape(-1, k, 3).max(axis=1)
+
+    # leaves seed their boxes; interior boxes converge in depth(tree) fully
+    # vectorised sweeps of nmin[i] = union(nmin[i+1], nmin[miss[i+1]])
+    is_leaf = first >= 0
+    nmin = np.full((n_nodes, 3), np.inf, np.float32)
+    nmax = np.full((n_nodes, 3), -np.inf, np.float32)
+    nmin[is_leaf] = leaf_min[first[is_leaf] // k]
+    nmax[is_leaf] = leaf_max[first[is_leaf] // k]
+    interior = np.nonzero(~is_leaf)[0]
+    left = interior + 1
+    right = miss[left]
+    for _ in range(64):  # >= tree depth; early exit on convergence
+        new_min = np.minimum(nmin[left], nmin[right])
+        new_max = np.maximum(nmax[left], nmax[right])
+        if np.array_equal(new_min, nmin[interior]) and np.array_equal(
+            new_max, nmax[interior]
+        ):
+            break
+        nmin[interior] = new_min
+        nmax[interior] = new_max
+
+    dev = jax.numpy.asarray
+    return ThreadedBVH(
+        aabb_min=dev(nmin),
+        aabb_max=dev(nmax),
+        first_tri=bvh.first_tri,
+        miss=bvh.miss,
+        tri_v0=dev(tv0),
+        tri_e1=dev(te1),
+        tri_e2=dev(te2),
+        tri_id=bvh.tri_id,
+        leaf_size=k,
+    )
+
+
 def _finish(node_min, node_max, first_tri, miss, slots, v0, v1, v2, leaf_size):
     safe = np.maximum(slots, 0)
     pad = (slots < 0)[:, None]

@@ -40,16 +40,14 @@ def render_sample_sharded(
     """One progressive sample, pixels sharded over ``mesh``'s first axis.
 
     Returns (radiance (N, 3) sharded over lanes, total rays psum'd).
-    ``width*height`` must divide evenly by the mesh size (pad the image or
-    choose tile-friendly resolutions — the standard 512/1080/2160 heights
-    divide by 2/4/8 chips).
+    Lane counts that do not divide the mesh size are padded: the last chip
+    re-renders a few duplicate pixels whose lanes are sliced off again —
+    an 800x600 frame on 7 devices just works.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     n = width * height
-    if n % n_dev:
-        raise ValueError(f"{width}x{height} pixels do not shard over {n_dev} devices")
-    per = n // n_dev
+    per = -(-n // n_dev)  # ceil: pad duplicate lanes on the last chip
 
     @functools.partial(
         jax.shard_map,
@@ -64,13 +62,14 @@ def render_sample_sharded(
     def body(tables_, vi, pi):
         d = jax.lax.axis_index(axis)
         lane0 = (d * per).astype(jnp.uint32)
-        lanes = lane0 + jnp.arange(per, dtype=jnp.uint32)
+        lanes = jnp.minimum(lane0 + jnp.arange(per, dtype=jnp.uint32), n - 1)
         radiance, rays = render_sample(
             tables_, vi, pi, width, height, sample_count, max_depth, lane_idx=lanes
         )
         return radiance, jax.lax.psum(rays, axis)
 
-    return body(tables, view_inv, proj_inv)
+    radiance, rays = body(tables, view_inv, proj_inv)
+    return radiance[:n], rays
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 8), static_argnames=("mesh",))

@@ -98,35 +98,53 @@ class GLTF:
 
     # -- accessors -----------------------------------------------------
 
+    def _read_view(self, view_idx, byte_offset, dtype, ncomp, count, stride_override=None):
+        """Raw (count, ncomp) read from a bufferView with optional stride."""
+        bv = self.doc["bufferViews"][view_idx]
+        buf = self.buffers[bv["buffer"]]
+        start = bv.get("byteOffset", 0) + byte_offset
+        itemsize = np.dtype(dtype).itemsize
+        elem_bytes = itemsize * ncomp
+        stride = stride_override or bv.get("byteStride", elem_bytes) or elem_bytes
+        if stride == elem_bytes:
+            return np.frombuffer(buf, dtype, count * ncomp, start).reshape(count, ncomp)
+        raw = np.frombuffer(buf, np.uint8)
+        rows = np.arange(count)[:, None] * stride + start
+        cols = np.arange(elem_bytes)[None, :]
+        return raw[rows + cols].copy().view(dtype).reshape(count, ncomp)
+
     def accessor(self, idx: int) -> np.ndarray:
         """Decode accessor ``idx`` to an (count, ncomp) ndarray.
 
         Normalized integer attributes are converted to float per the glTF
-        spec.  Sparse accessors are not supported (the reference's tinygltf
-        path never exercises them for the attributes we read).
+        spec.  Sparse accessors are supported: the base (bufferView data or
+        zeros) is patched with sparse indices/values (glTF 2.0 §3.6.2.3 —
+        tinygltf does the equivalent in the reference's loader).
         """
         acc = self.doc["accessors"][idx]
-        if "sparse" in acc:
-            raise GLTFError("sparse accessors not supported")
         dtype = _COMPONENT_DTYPE[acc["componentType"]]
         ncomp = _NUM_COMPONENTS[acc["type"]]
         count = acc["count"]
         if "bufferView" not in acc:
-            return np.zeros((count, ncomp), dtype)
-        bv = self.doc["bufferViews"][acc["bufferView"]]
-        buf = self.buffers[bv["buffer"]]
-        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
-        itemsize = np.dtype(dtype).itemsize
-        elem_bytes = itemsize * ncomp
-        stride = bv.get("byteStride", elem_bytes)
-        if stride == elem_bytes:
-            arr = np.frombuffer(buf, dtype, count * ncomp, start).reshape(count, ncomp)
-        else:  # interleaved
-            raw = np.frombuffer(buf, np.uint8)
-            rows = np.arange(count)[:, None] * stride + start
-            cols = np.arange(elem_bytes)[None, :]
-            arr = raw[rows + cols].copy().view(dtype).reshape(count, ncomp)
+            arr = np.zeros((count, ncomp), dtype)
+        else:
+            arr = self._read_view(
+                acc["bufferView"], acc.get("byteOffset", 0), dtype, ncomp, count
+            )
         arr = np.array(arr)  # writable copy
+        if "sparse" in acc:
+            sp = acc["sparse"]
+            n_sp = sp["count"]
+            sidx = sp["indices"]
+            idx_dtype = _COMPONENT_DTYPE[sidx["componentType"]]
+            indices = self._read_view(
+                sidx["bufferView"], sidx.get("byteOffset", 0), idx_dtype, 1, n_sp
+            ).reshape(-1).astype(np.int64)
+            sval = sp["values"]
+            values = self._read_view(
+                sval["bufferView"], sval.get("byteOffset", 0), dtype, ncomp, n_sp
+            )
+            arr[indices] = values
         if acc.get("normalized", False) and dtype != np.float32:
             info = np.iinfo(dtype)
             arr = arr.astype(np.float32) / float(info.max)

@@ -203,6 +203,69 @@ def dragon_scene(detail: int = 256) -> Scene:
     return s
 
 
+def sky_hdr(h: int = 64, w: int = 128) -> np.ndarray:
+    """Procedural equirect HDR sky (stand-in for hilly_terrain_01_4k.hdr,
+    which ships as a stripped blob): blue gradient + bright sun disc."""
+    v = np.linspace(0, np.pi, h, dtype=np.float32)[:, None]
+    u = np.linspace(0, 2 * np.pi, w, endpoint=False, dtype=np.float32)[None, :]
+    horizon = np.clip(np.cos(v), 0, 1)
+    sky = np.stack(
+        [
+            0.3 + 0.2 * horizon + 0 * u,
+            0.45 + 0.3 * horizon + 0 * u,
+            0.9 + 0.1 * horizon + 0 * u,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    sun_dir = np.array([0.3, 0.8, 0.52])
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    dirs = np.stack(
+        [
+            np.sin(v) * np.cos(u) + 0 * u,
+            np.cos(v) + 0 * u,
+            np.sin(v) * np.sin(u) + 0 * u,
+        ],
+        axis=-1,
+    )
+    cos_sun = dirs @ sun_dir
+    sky += np.where(cos_sun > 0.9995, 800.0, 0.0)[..., None]
+    return sky
+
+
+def multi_scene(detail: int = 40) -> Scene:
+    """Composed multi-model scene (config 5 stand-in): the colonnade hall
+    with the displaced-sphere 'dragon' and a row of glass pieces placed via
+    per-model transforms — the -m/-t/-o/-s composition workload."""
+    s = hall_scene(detail=detail)
+
+    def displace(pos):
+        p = pos / np.maximum(np.linalg.norm(pos, axis=-1, keepdims=True), 1e-9)
+        r = 1.0
+        for f, a in ((3.0, 0.25), (7.0, 0.12), (13.0, 0.06)):
+            r = r + a * np.sin(f * p[:, 0]) * np.cos(f * p[:, 1]) * np.sin(
+                f * p[:, 2] + f
+            )
+        return p * r[:, None]
+
+    pos, idx = _sphere_mesh(96, 192, 1.0)
+    pos = displace(pos).astype(np.float32)
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] *= 0.8
+    t[:3, 3] = [4.0, 1.1, 0.0]
+    _add_mesh(s, pos, idx, _mat((0.35, 0.55, 0.3), roughness_factor=0.45), t)
+
+    glass = _mat((1.0, 1.0, 1.0), metallic_factor=0.0, roughness_factor=0.05)
+    glass.transmission_factor = 1.0
+    glass.ior = 1.45
+    glass.thickness_factor = 1.0
+    for i in range(4):
+        pos, idx = _sphere_mesh(32, 64, 0.3)
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = [-6.0 + 2.0 * i, 0.35, -1.2]
+        _add_mesh(s, pos, idx, glass, t)
+    return s
+
+
 def chess_scene(detail: int = 32) -> Scene:
     """Chess-class transmissive scene (config 3 stand-in).
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..accel.bvh import ThreadedBVH, build_bvh
+from ..accel.bvh import ThreadedBVH, build_bvh, refit_bvh
 from ..accel.grid import UniformGrid, build_grid
 from ..ops.math3 import V3
 from ..ops.pallas_bvh import PacketBVH, build_packet_bvh
@@ -511,6 +511,77 @@ class Scene:
             self._process_node(so, g, g.nodes[child], base_mesh, light_slots)
 
     # -- upload ------------------------------------------------------------
+
+    def refit(self, tables: SceneTables) -> SceneTables:
+        """Cheap dynamic-scene update — AccelerationStructure::update().
+
+        Re-flattens world-space geometry after node transforms changed and
+        REFITS the acceleration structures in place of a full rebuild
+        (accelerationstructure.cpp:26-32): BVH/emissive-BVH topology and
+        slot ordering are kept, only AABBs and triangle data refresh; the
+        packet stream layout is repacked from them.  Parity notes, matching
+        the reference's update():
+        * the emissive CDF / areas / light placements are NOT recomputed
+          (the reference builds them once at upload, scene.cpp:281-342);
+        * the uniform grid is also refitted-by-rebuild only if it is the
+          active traversal path (CPU fallback on >64k scenes); on TPU the
+          packet/dense paths never read it, so its rebuild is skipped there.
+        Topology (triangle counts, mesh list, materials) must be unchanged.
+        """
+        v0s, v1s, v2s, n_tris, tg_tris = [], [], [], [], []
+        for node in self.iter_depth_first():
+            if node.mesh < 0:
+                continue
+            world = node.world_transform
+            nrm_m = _inv_transpose3(world)
+            for prim in self.mesh_pool[node.mesh]:
+                idx = prim.indices.reshape(-1, 3)
+                pos_w = prim.positions @ world[:3, :3].T + world[:3, 3]
+                nrm_w = prim.normals @ nrm_m.T
+                tan_w = prim.tangents[:, :3] @ nrm_m.T
+                v0s.append(pos_w[idx[:, 0]])
+                v1s.append(pos_w[idx[:, 1]])
+                v2s.append(pos_w[idx[:, 2]])
+                n_tris.append(np.stack([nrm_w[idx[:, k]] for k in range(3)], axis=1))
+                tg_tris.append(np.stack([tan_w[idx[:, k]] for k in range(3)], axis=1))
+        v0 = np.concatenate(v0s).astype(np.float32)
+        v1 = np.concatenate(v1s).astype(np.float32)
+        v2 = np.concatenate(v2s).astype(np.float32)
+        if v0.shape[0] != tables.num_triangles:
+            raise ValueError("refit requires unchanged topology; use upload()")
+        tri_n = np.concatenate(n_tris).astype(np.float32)
+        tri_tg = np.concatenate(tg_tris).astype(np.float32)
+
+        from ..ops.pallas_bvh import build_packet_bvh as _pack
+
+        bvh = refit_bvh(tables.bvh, v0, v1, v2)
+        em_tri = np.asarray(tables.em_tri)
+        ebvh = tables.ebvh
+        if tables.num_emissive_tris > 0:
+            ebvh = refit_bvh(tables.ebvh, v0[em_tri], v1[em_tri], v2[em_tri])
+        grid = tables.grid
+        if jax.default_backend() not in ("tpu",) and tables.num_triangles > 65536:
+            grid = build_grid(v0, v1, v2)
+
+        def vcomp(a):
+            return V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+        return dataclasses.replace(
+            tables,
+            v0=vcomp(v0),
+            v1=vcomp(v1),
+            v2=vcomp(v2),
+            n0=vcomp(tri_n[:, 0]),
+            n1=vcomp(tri_n[:, 1]),
+            n2=vcomp(tri_n[:, 2]),
+            tg0=vcomp(tri_tg[:, 0]),
+            tg1=vcomp(tri_tg[:, 1]),
+            tg2=vcomp(tri_tg[:, 2]),
+            bvh=bvh,
+            ebvh=ebvh,
+            grid=grid,
+            pbvh=_pack(bvh),
+        )
 
     def upload(self, leaf_size: int = 8) -> SceneTables:
         """Flatten instances to world space and build all device tables.
