@@ -1,0 +1,70 @@
+"""Viewer input parsing + mouse-drag camera parity (camera.cpp:47-60)."""
+
+import numpy as np
+
+from vulkan_raytracer_tpu.scene.camera import Camera
+from vulkan_raytracer_tpu.viewer import MouseState, parse_input
+
+
+def test_parse_keys_and_mouse():
+    events, rest = parse_input("wa\x1b[<0;10;5Ms\x1b[<32;12;6Mq")
+    assert rest == ""
+    assert events == [
+        ("key", "w"),
+        ("key", "a"),
+        ("mouse", 0, 10, 5, True),
+        ("key", "s"),
+        ("mouse", 32, 12, 6, True),
+        ("key", "q"),
+    ]
+
+
+def test_parse_partial_escape_kept():
+    events, rest = parse_input("w\x1b[<0;1")
+    assert events == [("key", "w")]
+    assert rest == "\x1b[<0;1"
+    events, rest = parse_input(rest + "0;5M")
+    assert events == [("mouse", 0, 10, 5, True)]
+    assert rest == ""
+
+
+def test_left_drag_pans_like_cursor_moved():
+    cam = Camera(
+        position=np.array([0.0, 1.0, 3.0]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    ref = Camera(
+        position=np.array([0.0, 1.0, 3.0]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    m = MouseState()
+    m.apply(cam, 0, 10, 5, True)  # LMB press at (10, 5)
+    m.apply(cam, 32, 12, 5, True)  # drag 2 cells right
+    ref.cursor_moved(16.0, 0.0, left=True)  # 2 cells * 8 px/cell
+    np.testing.assert_allclose(cam.direction, ref.direction, atol=1e-6)
+    assert cam.direction_changed
+
+
+def test_right_drag_changes_fov_with_clamp():
+    cam = Camera(
+        position=np.array([0.0, 1.0, 3.0]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    m = MouseState()
+    fov0 = cam.fov
+    m.apply(cam, 2, 10, 5, True)  # RMB press
+    m.apply(cam, 34, 10, 8, True)  # drag down 3 cells (b=2|32)
+    assert cam.fov > fov0
+    for _ in range(100):
+        m.apply(cam, 34, 10, 9, True)
+        m.last_xy = (10, 8)
+    assert cam.fov <= np.deg2rad(150.0) + 1e-6
+
+
+def test_release_stops_dragging():
+    cam = Camera(
+        position=np.array([0.0, 1.0, 3.0]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    m = MouseState()
+    m.apply(cam, 0, 10, 5, True)
+    m.apply(cam, 0, 10, 5, False)  # release
+    d0 = cam.direction.copy()
+    m.apply(cam, 32, 14, 8, True)  # motion with no button held
+    np.testing.assert_allclose(cam.direction, d0)

@@ -250,7 +250,9 @@ def decode_texture(data: bytes) -> np.ndarray:
     if data[:8] == _PNG_MAGIC:
         img = read_png(data)
     elif data[:2] == b"\xff\xd8":
-        raise ValueError("JPEG textures not supported yet (use PNG)")
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(data)
     else:
         raise ValueError("unrecognised image format")
     if img.dtype == np.uint16:

@@ -7,13 +7,18 @@ A TPU host has no swapchain; this viewer keeps the exact same loop contract
 — poll input, draw one progressive sample, present, reset on move — and
 presents with ANSI truecolor half-blocks (two pixels per character cell).
 
-Keys: w/a/s/d move (shift-style boost with W/A/S/D, 0.2x with z held
-semantics replaced by lowercase/uppercase), i/j/k/l pan, +/- fov,
-[ ] speed, q quit.
+Input parity with the GLFW window (camera.cpp:18-60):
+* w/a/s/d move, uppercase = 3x boost, z-prefix = 0.2x creep;
+* REAL mouse drags via xterm SGR mouse reporting (ESC[?1002h/1006h):
+  left-drag pans exactly like GLFW cursorMoved with the left button,
+  right-drag-vertical adjusts fov with the 10-150 degree clamp;
+* i/j/k/l keys remain as a pan fallback for terminals without mouse
+  reporting, [ ] change speed, q quits.
 """
 
 from __future__ import annotations
 
+import re
 import select
 import sys
 import time
@@ -23,12 +28,82 @@ import numpy as np
 from .render.renderer import Renderer
 from .utils import logging as log
 
+#: SGR mouse report: ESC [ < button ; x ; y (M=press/drag, m=release)
+_SGR_MOUSE = re.compile(r"\x1b\[<(\d+);(\d+);(\d+)([Mm])")
 
-def _read_keys(timeout: float = 0.0) -> str:
+
+def parse_input(buf: str):
+    """Split a raw tty chunk into ('key', ch) and ('mouse', b, x, y, down).
+
+    Pure function so terminals can be simulated in tests.  Unrecognised
+    escape sequences are dropped; returns (events, remainder) where the
+    remainder is an incomplete trailing escape sequence to retry with more
+    bytes.
+    """
+    events = []
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c == "\x1b":
+            m = _SGR_MOUSE.match(buf, i)
+            if m:
+                b, x, y, kind = m.groups()
+                events.append(("mouse", int(b), int(x), int(y), kind == "M"))
+                i = m.end()
+                continue
+            # incomplete escape at the end -> keep for the next read
+            if _looks_partial(buf[i:]):
+                return events, buf[i:]
+            i += 1  # unknown sequence intro; skip the ESC
+            continue
+        events.append(("key", c))
+        i += 1
+    return events, ""
+
+
+def _looks_partial(s: str) -> bool:
+    """Could ``s`` be a prefix of an SGR mouse report?"""
+    return bool(re.fullmatch(r"\x1b(\[(<(\d+(;(\d+(;(\d+)?)?)?)?)?)?)?", s))
+
+
+class MouseState:
+    """Tracks drag deltas and feeds Camera.cursor_moved like GLFW would."""
+
+    def __init__(self):
+        self.last_xy = None
+        self.buttons = set()
+
+    def apply(self, camera, b, x, y, down):
+        btn = b & 3  # 0=left, 2=right; bit 5 (32) marks motion events
+        motion = bool(b & 32)
+        if not motion:
+            if down:
+                self.buttons.add(btn)
+                self.last_xy = (x, y)
+            else:
+                self.buttons.discard(btn)
+                self.last_xy = None
+            return
+        if self.last_xy is None:
+            self.last_xy = (x, y)
+            return
+        dx = (x - self.last_xy[0]) * 8.0  # cells are coarser than pixels
+        dy = (y - self.last_xy[1]) * 16.0
+        self.last_xy = (x, y)
+        camera.cursor_moved(
+            dx, dy, left=(0 in self.buttons), right=(2 in self.buttons)
+        )
+
+
+def _read_chunk(timeout: float = 0.0) -> str:
     if not sys.stdin.isatty():
         return ""
     r, _, _ = select.select([sys.stdin], [], [], timeout)
-    return sys.stdin.read(1) if r else ""
+    if not r:
+        return ""
+    import os as _os
+
+    return _os.read(sys.stdin.fileno(), 1024).decode(errors="ignore")
 
 
 def _present(img: np.ndarray) -> str:
@@ -59,39 +134,55 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
     sys.stdout.write("\x1b[2J")  # clear
+    sys.stdout.write("\x1b[?1002h\x1b[?1006h")  # button-drag mouse reporting
+    mouse = MouseState()
+    pending = ""
     last = time.perf_counter()
+    creep = False
     try:
         while True:
             now = time.perf_counter()
             dt = now - last
             last = now
 
-            key = _read_keys()
-            if key == "q":
+            events, pending = parse_input(pending + _read_chunk())
+            quit_now = False
+            for ev in events:
+                if ev[0] == "mouse":
+                    mouse.apply(camera, *ev[1:])
+                    continue
+                key = ev[1]
+                if key == "q":
+                    quit_now = True
+                    break
+                moves = {
+                    "w": {"w"}, "s": {"s"}, "a": {"a"}, "d": {"d"},
+                    "W": {"w", "shift"}, "S": {"s", "shift"},
+                    "A": {"a", "shift"}, "D": {"d", "shift"},
+                }
+                if key == "z":  # creep toggle (GLFW ctrl modifier stand-in)
+                    creep = not creep
+                elif key in moves:
+                    mod = moves[key] | ({"ctrl"} if creep else set())
+                    camera.process_key_input(mod, max(dt, 1 / 30))
+                elif key == "i":
+                    camera.cursor_moved(0, -40, left=True)
+                elif key == "k":
+                    camera.cursor_moved(0, 40, left=True)
+                elif key == "j":
+                    camera.cursor_moved(-40, 0, left=True)
+                elif key == "l":
+                    camera.cursor_moved(40, 0, left=True)
+                elif key in "+=":
+                    camera.cursor_moved(0, -10, right=True)
+                elif key == "-":
+                    camera.cursor_moved(0, 10, right=True)
+                elif key == "[":
+                    camera.speed *= 0.5
+                elif key == "]":
+                    camera.speed *= 2.0
+            if quit_now:
                 break
-            moves = {
-                "w": {"w"}, "s": {"s"}, "a": {"a"}, "d": {"d"},
-                "W": {"w", "shift"}, "S": {"s", "shift"},
-                "A": {"a", "shift"}, "D": {"d", "shift"},
-            }
-            if key in moves:
-                camera.process_key_input(moves[key], max(dt, 1 / 30))
-            elif key == "i":
-                camera.cursor_moved(0, -40, left=True)
-            elif key == "k":
-                camera.cursor_moved(0, 40, left=True)
-            elif key == "j":
-                camera.cursor_moved(-40, 0, left=True)
-            elif key == "l":
-                camera.cursor_moved(40, 0, left=True)
-            elif key in "+=":
-                camera.cursor_moved(0, -10, right=True)
-            elif key == "-":
-                camera.cursor_moved(0, 10, right=True)
-            elif key == "[":
-                camera.speed *= 0.5
-            elif key == "]":
-                camera.speed *= 2.0
 
             t0 = time.perf_counter()
             img = renderer.draw_frame()
@@ -101,10 +192,11 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
             sys.stdout.write(
                 f"\n\x1b[0m spp {renderer.sample_count:4d}  {frame_ms:6.1f} ms/frame"
                 f"  pos ({camera.position[0]:.2f} {camera.position[1]:.2f}"
-                f" {camera.position[2]:.2f})  [wasd move, ijkl pan, +- fov, q quit]\x1b[K"
+                f" {camera.position[2]:.2f})  [wasd move, drag pan, rdrag fov, q quit]\x1b[K"
             )
             sys.stdout.flush()
     finally:
+        sys.stdout.write("\x1b[?1002l\x1b[?1006l")
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
         sys.stdout.write("\x1b[0m\n")
     log.info("viewer closed after %d samples, %d rays", renderer.sample_count, renderer.total_rays)
