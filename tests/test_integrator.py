@@ -89,3 +89,26 @@ def test_emissive_mis_weight_below_one(tables, cam):
     bright = img.reshape(-1, 3).max(axis=1)
     # direct view of the light is ~10 (emissiveStrength premultiplied)
     assert bright.max() > 9.0
+
+
+def test_banded_render_matches_single_pass(monkeypatch):
+    """Large-frame lane banding (renderer.MAX_LANES_PER_PASS) is exact."""
+    import numpy as np
+
+    from vulkan_raytracer_tpu.render import renderer as R
+    from vulkan_raytracer_tpu.scene.builtin import cornell_box_scene
+    from vulkan_raytracer_tpu.scene.camera import Camera
+
+    tables = cornell_box_scene().upload()
+    cam = Camera(
+        position=np.array([0.0, 1.0, 2.4]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    img_1, rays_1 = R.render_image(tables, cam, 40, 24, spp=2, max_depth=2,
+                                   tonemap=False)
+    monkeypatch.setattr(R, "MAX_LANES_PER_PASS", 256)  # force 4 bands
+    R._render_batch.clear_cache()
+    img_b, rays_b = R.render_image(tables, cam, 40, 24, spp=2, max_depth=2,
+                                   tonemap=False)
+    R._render_batch.clear_cache()
+    np.testing.assert_allclose(img_b, img_1, rtol=1e-6, atol=1e-7)
+    assert rays_b == rays_1

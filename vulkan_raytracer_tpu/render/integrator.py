@@ -725,7 +725,7 @@ def render_sample(
     # packet traversal: group lanes into 32x32 pixel blocks (each (8, 128)
     # tile shares a tight square primary beam) and re-sort the wavefront
     # between bounces; s["slot"] carries each lane's output position
-    repack = _packet_preferred(tables)
+    repack = _packet_preferred(tables) and not os.environ.get("VKRT_NO_REPACK")
     slot = None
     if lane_idx is None and repack:
         order, _ = _block_order(width, height)

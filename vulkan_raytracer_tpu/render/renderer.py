@@ -39,22 +39,63 @@ def _render_one(tables, view_inv, proj_inv, width, height, sample_count, max_dep
     )
 
 
+#: Max pixel lanes per traversal pass.  Large frames render in sequential
+#: lane bands: bounds live-state memory and stays under a Mosaic/runtime
+#: fault observed with multi-kernel programs above ~1M lanes on v5e.
+MAX_LANES_PER_PASS = 1 << 19
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6), static_argnames=("nee_weighting",))
 def _render_batch(tables, view_inv, proj_inv, width, height, max_depth, spp,
                   start_sample, nee_weighting="reference"):
-    """Sum ``spp`` samples starting at ``start_sample`` in fixed scan order."""
+    """Sum ``spp`` samples starting at ``start_sample`` in fixed scan order.
 
-    def step(acc, s):
-        radiance, rays = render_sample(
-            tables, view_inv, proj_inv, width, height, s, max_depth,
-            nee_weighting=nee_weighting,
-        )
-        return acc + radiance, rays
+    Frames above MAX_LANES_PER_PASS lanes are traced in sequential bands of
+    a globally 32x32-block-swizzled lane order (so every band's packet
+    tiles stay square beams); the final inverse permutation restores pixel
+    order once.
+    """
+    from .integrator import _block_order
 
-    init = jnp.zeros((width * height, 3), jnp.float32)
-    samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
-    acc, rays = jax.lax.scan(step, init, samples)
-    return acc, rays
+    n = width * height
+
+    if n <= MAX_LANES_PER_PASS:
+        def step(acc, s):
+            radiance, rays = render_sample(
+                tables, view_inv, proj_inv, width, height, s, max_depth,
+                nee_weighting=nee_weighting,
+            )
+            return acc + radiance, rays
+
+        init = jnp.zeros((n, 3), jnp.float32)
+        samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
+        return jax.lax.scan(step, init, samples)
+
+    n_bands = -(-n // MAX_LANES_PER_PASS)
+    per = -(-n // n_bands)
+    order, inverse = _block_order(width, height)
+    order_pad = np.concatenate(
+        [order, np.full(n_bands * per - n, order[-1], np.int32)]
+    )
+    lanes_all = jnp.asarray(order_pad.reshape(n_bands, per))
+
+    def band(_, lanes):
+        def step(acc, s):
+            radiance, rays = render_sample(
+                tables, view_inv, proj_inv, width, height, s, max_depth,
+                lane_idx=lanes, nee_weighting=nee_weighting,
+            )
+            return acc + radiance, rays
+
+        init = jnp.zeros((per, 3), jnp.float32)
+        samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
+        acc, rays = jax.lax.scan(step, init, samples)
+        return None, (acc, rays)
+
+    _, (acc_bands, rays) = jax.lax.scan(band, None, lanes_all)
+    acc = acc_bands.reshape(n_bands * per, 3)[:n]
+    acc = jnp.take(acc, jnp.asarray(inverse), axis=0)
+    return acc, rays.reshape(-1)
 
 
 def camera_uniforms(camera: Camera):
