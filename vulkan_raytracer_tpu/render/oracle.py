@@ -11,8 +11,9 @@ is measured against this oracle; tests/test_rmse.py enforces it.
 
 Intentionally simple and slow: no performance tricks, maximum legibility,
 so disagreements between this and the XLA path localise transcription bugs.
-Isotropic-roughness subset (anisotropy strength 0 — the bundled test scenes
-have none); textures are not applied (factor-only materials).
+Covers the full material model: anisotropic GGX (rotation + strength,
+hit.rchit:104-113), all six texture slots incl. normal mapping with scene
+tangents, spectral dispersion, thin/volumetric transmission.
 """
 
 from __future__ import annotations
@@ -130,6 +131,47 @@ class OracleScene:
         self.dl_intensity = g(tables.dl_intensity)
         self.skybox = g(tables.skybox)
         self.skybox_strength = F(np.asarray(tables.skybox_strength))
+        # textures + tangent frames (hit.rchit:46,59-71; texture.glsl)
+        self.has_textures = tables.has_textures
+        self.uv = g(tables.uv)  # (T, 6) [u0 v0 u1 v1 u2 v2]
+        self.tri_tg = np.stack(
+            [gv3(tables.tg0), gv3(tables.tg1), gv3(tables.tg2)], axis=1
+        )
+        self.tg_sign = g(tables.tg_sign)
+        self.tex_idx = np.asarray(m.tex_idx)  # (M, 6) texture slots
+        self.aniso_strength = g(m.aniso_strength)
+        self.aniso_rotation = g(m.aniso_rotation)
+        self.tex_data = g(tables.tex_data)  # (NT, MH, MW, 4) padded stack
+        self.tex_size = np.asarray(tables.tex_size)  # (NT, 2) (h, w)
+
+    def sample_tex(self, ti, uv):
+        """Bilinear + repeat over the padded stack (ops/texture.py parity).
+
+        ti: (N,) texture ids (callers gate on ti >= 0); uv: (N, 2).
+        Returns (N, 4).
+        """
+        t = np.maximum(ti, 0)
+        hw = self.tex_size[t].astype(F)
+        hh, ww = hw[:, 0], hw[:, 1]
+        x = uv[:, 0] * ww - 0.5
+        y = uv[:, 1] * hh - 0.5
+        x0 = np.floor(x)
+        y0 = np.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        wi = np.maximum(self.tex_size[t, 1], 1)
+        hi = np.maximum(self.tex_size[t, 0], 1)
+        x0i = np.mod(x0.astype(int), wi)
+        x1i = np.mod(x0.astype(int) + 1, wi)
+        y0i = np.mod(y0.astype(int), hi)
+        y1i = np.mod(y0.astype(int) + 1, hi)
+        c00 = self.tex_data[t, y0i, x0i]
+        c10 = self.tex_data[t, y0i, x1i]
+        c01 = self.tex_data[t, y1i, x0i]
+        c11 = self.tex_data[t, y1i, x1i]
+        top = c00 * (1 - fx) + c10 * fx
+        bot = c01 * (1 - fx) + c11 * fx
+        return (top * (1 - fy) + bot * fy).astype(F)
 
     # brute force closest hit
     def closest(self, o, d, t_min, t_max):
@@ -210,6 +252,8 @@ class Hit:
 
 
 def eval_hit(sc: OracleScene, o, d, t, tri, u, v):
+    """hit.rchit:31-117 — interpolation, TBN + normal mapping, all six
+    texture slots, anisotropic alpha construction, skybox on miss."""
     h = Hit()
     miss = tri < 0
     ti = np.maximum(tri, 0)
@@ -217,19 +261,81 @@ def eval_hit(sc: OracleScene, o, d, t, tri, u, v):
     tn = sc.tri_n[ti]
     w0 = (1 - u - v)[:, None]
     nrm = normalize(w0 * tn[:, 0] + u[:, None] * tn[:, 1] + v[:, None] * tn[:, 2])
-    tangent, bitangent = branchless_onb(nrm)
+    mi = sc.tri_mat[ti]
+
+    # tangent frame from scene tangents (hit.rchit:61-71), pre-flip normal
+    tg_raw = (
+        w0 * sc.tri_tg[ti, 0] + u[:, None] * sc.tri_tg[ti, 1] + v[:, None] * sc.tri_tg[ti, 2]
+    )
+    has_tg = np.any(tg_raw != 0, -1)
+    sign = sc.tg_sign[ti]
+    tg_n = normalize(tg_raw)
+
+    shading = nrm
+    uvp = None
+    tex = sc.tex_idx[mi] if sc.has_textures else None
+    if sc.has_textures:
+        uv6 = sc.uv[ti]
+        uvp = np.stack(
+            [
+                w0[:, 0] * uv6[:, 0] + u * uv6[:, 2] + v * uv6[:, 4],
+                w0[:, 0] * uv6[:, 1] + u * uv6[:, 3] + v * uv6[:, 5],
+            ],
+            -1,
+        ).astype(F)
+        has_nm = (tex[:, 2] >= 0) & has_tg
+        bt0 = np.cross(nrm, tg_n) * sign[:, None]
+        texel = sc.sample_tex(tex[:, 2], uvp)
+        nmap = normalize(texel[:, :3] * 2.0 - 1.0)
+        mapped = normalize(
+            tg_n * nmap[:, 0:1] + bt0 * nmap[:, 1:2] + nrm * nmap[:, 2:3]
+        )
+        shading = np.where(has_nm[:, None], mapped, nrm).astype(F)
+
+    tg_ortho = normalize(tg_n - shading * dot(shading, tg_n)[:, None])
+    bt_ortho = np.cross(shading, tg_ortho) * sign[:, None]
+    onb_t, onb_b = branchless_onb(shading)
+    tangent = np.where(has_tg[:, None], tg_ortho, onb_t).astype(F)
+    bitangent = np.where(has_tg[:, None], bt_ortho, onb_b).astype(F)
+
     view = -d
-    h.front = dot(nrm, view) >= 0
-    h.normal = np.where(h.front[:, None], nrm, -nrm).astype(F)
+    h.front = dot(shading, view) >= 0
+    h.normal = np.where(h.front[:, None], shading, -shading).astype(F)
     h.tangent, h.bitangent = tangent, bitangent
     h.t = np.where(miss, -INF, t).astype(F)
-    mi = sc.tri_mat[ti]
+
     h.base = sc.base[mi].copy()
-    h.emissive = np.where(miss[:, None], sc.sky(d), sc.emissive[mi]).astype(F)
-    h.metallic = sc.metallic[mi]
-    a = np.maximum(sc.rough[mi] ** 2, 0.001).astype(F)
-    h.alpha = a
-    h.transmission = sc.transmission[mi]
+    emissive = sc.emissive[mi].copy()
+    h.metallic = sc.metallic[mi].copy()
+    rough = sc.rough[mi].copy()
+    h.transmission = sc.transmission[mi].copy()
+    aniso_s = sc.aniso_strength[mi].copy()
+    aniso_r = sc.aniso_rotation[mi].copy()
+
+    if sc.has_textures:  # hit.rchit:75-113 texture modulation
+        tb = sc.sample_tex(tex[:, 0], uvp)
+        h.base = np.where((tex[:, 0] >= 0)[:, None], h.base * tb[:, :3], h.base)
+        te = sc.sample_tex(tex[:, 3], uvp)
+        emissive = np.where((tex[:, 3] >= 0)[:, None], emissive * te[:, :3], emissive)
+        tt = sc.sample_tex(tex[:, 4], uvp)
+        h.transmission = np.where(
+            tex[:, 4] >= 0, h.transmission * tt[:, 0], h.transmission
+        )
+        mr = sc.sample_tex(tex[:, 1], uvp)
+        h.metallic = np.where(tex[:, 1] >= 0, h.metallic * mr[:, 2], h.metallic)
+        rough = np.where(tex[:, 1] >= 0, rough * mr[:, 1], rough)
+        an = sc.sample_tex(tex[:, 5], uvp)
+        aniso_r = np.where(
+            tex[:, 5] >= 0, aniso_r + np.arctan2(an[:, 1], an[:, 0]), aniso_r
+        )
+        aniso_s = np.where(tex[:, 5] >= 0, aniso_s * an[:, 2], aniso_s)
+
+    a = np.maximum(rough * rough, 0.001).astype(F)  # hit.rchit:94-95
+    h.ax = (a + (1 - a) * aniso_s * aniso_s).astype(F)  # mix (hit.rchit:112)
+    h.ay = a
+    h.adx = np.cos(aniso_r).astype(F)
+    h.ady = np.sin(aniso_r).astype(F)
+    h.emissive = np.where(miss[:, None], sc.sky(d), emissive).astype(F)
     h.thin = sc.thin[mi]
     h.atten = sc.atten[mi]
     h.ior = sc.ior[mi]
@@ -253,36 +359,41 @@ def from_tangent(h, v):
 # ---------------------------------------------------------------------------
 
 
-def d_ggx(a, hv):
-    a2 = a * a
-    f = a2 / np.maximum(
-        (a * hv[..., 0]) ** 2 + (a * hv[..., 1]) ** 2 + (a2 * hv[..., 2]) ** 2, 1e-30
-    )
+def aniso2(h, vx, vy):
+    """mat2(anisoDir, anisoDir.yx*(1,-1)) * v (bsdf.glsl:14,150)."""
+    return h.adx * vx + h.ady * vy, h.ady * vx - h.adx * vy
+
+
+def d_ggx(h, hv):
+    ht, hb = aniso2(h, hv[..., 0], hv[..., 1])
+    a2 = h.ax * h.ay
+    f = a2 / np.maximum((h.ay * ht) ** 2 + (h.ax * hb) ** 2 + (a2 * hv[..., 2]) ** 2, 1e-30)
     return a2 * f * f / PI
 
 
-def vis(a, v, l):
-    len_l = np.sqrt((a * l[..., 0]) ** 2 + (a * l[..., 1]) ** 2 + l[..., 2] ** 2)
-    len_v = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
-    den = 2 * (l[..., 2] * len_v + v[..., 2] * len_l)
+def _smith_len(h, v):
+    vt, vb = aniso2(h, v[..., 0], v[..., 1])
+    return np.sqrt((h.ax * vt) ** 2 + (h.ay * vb) ** 2 + v[..., 2] ** 2)
+
+
+def vis(h, v, l):
+    den = 2 * (l[..., 2] * _smith_len(h, v) + v[..., 2] * _smith_len(h, l))
     return np.where(np.abs(den) < 1e-20, 0.0, 1.0 / np.where(den == 0, 1, den)).astype(F)
 
 
-def vis_trans(a, v, l, hv):
+def vis_trans(h, v, l, hv):
     valid = (dot(hv, v) > 0) & (dot(hv, l) < 0)
-    len_l = np.sqrt((a * l[..., 0]) ** 2 + (a * l[..., 1]) ** 2 + l[..., 2] ** 2)
-    len_v = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
-    den = 2 * (-l[..., 2] * len_v + v[..., 2] * len_l)
+    den = 2 * (-l[..., 2] * _smith_len(h, v) + v[..., 2] * _smith_len(h, l))
     out = np.where(np.abs(den) < 1e-20, 0.0, 1.0 / np.where(den == 0, 1, den))
     return np.where(valid, out, 0.0).astype(F)
 
 
-def vis_refr(a, eta, v, l, hv):
+def vis_refr(h, eta, v, l, hv):
     hl, hv_ = dot(hv, l), dot(hv, v)
     valid = (hv_ > 0) & (hl < 0)
-    len_l = np.sqrt((a * l[..., 0]) ** 2 + (a * l[..., 1]) ** 2 + l[..., 2] ** 2)
-    len_v = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
-    den = (eta * hv_ + hl) ** 2 * (-l[..., 2] * len_v + v[..., 2] * len_l)
+    den = (eta * hv_ + hl) ** 2 * (
+        -l[..., 2] * _smith_len(h, v) + v[..., 2] * _smith_len(h, l)
+    )
     out = np.where(np.abs(den) < 1e-30, 0.0, 2 * -hl * hv_ / np.where(den == 0, 1, den))
     return np.where(valid, out, 0.0).astype(F)
 
@@ -305,46 +416,54 @@ def fresnel_transmission(f0, eta, vdoth):
     return np.where(eta <= 1, f_lo, np.where(s2 <= 1, f_r, 1.0)).astype(F)
 
 
-def vndf_k(a, v):
-    s = 1 + np.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2)
+def _vndf_k(h, sx, sy, vz):
+    """Bounded-VNDF k; s from the given xy components (bsdf.glsl:119-122,
+    155-158 — raw view.xy in the sampler, aniso-space in the pdfs; the
+    rotation is orthogonal so |xy| matches, mirrored here for parity)."""
+    s = 1 + np.sqrt(sx * sx + sy * sy)
+    a = np.minimum(h.ax, h.ay)
     s2, a2 = s * s, a * a
-    return (1 - a2) * s2 / (s2 + a2 * v[..., 2] ** 2)
+    return (1 - a2) * s2 / (s2 + a2 * vz * vz)
 
 
-def vndf_refl_pdf(a, v, hv):
-    ndf = d_ggx(a, hv)
-    t = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
-    k = vndf_k(a, v)
+def vndf_refl_pdf(h, v, hv):
+    ndf = d_ggx(h, hv)
+    ax, ay = aniso2(h, v[..., 0], v[..., 1])
+    t = np.sqrt((h.ax * ax) ** 2 + (h.ay * ay) ** 2 + v[..., 2] ** 2)
+    k = _vndf_k(h, ax, ay, v[..., 2])
     den = 2 * (k * v[..., 2] + t)
     return np.where(np.abs(den) < 1e-20, 0.0, ndf / np.where(den == 0, 1, den)).astype(F)
 
 
-def vndf_refr_pdf(a, eta, v, l, hv):
+def vndf_refr_pdf(h, eta, v, l, hv):
     hl, hvv = dot(hv, l), dot(hv, v)
     den = (eta * hvv + hl) ** 2
     jac = np.where(den < 1e-30, 0.0, -hl / np.where(den == 0, 1, den))
-    ndf = d_ggx(a, hv)
-    t = np.sqrt((a * v[..., 0]) ** 2 + (a * v[..., 1]) ** 2 + v[..., 2] ** 2)
-    k = vndf_k(a, v)
+    ndf = d_ggx(h, hv)
+    ax, ay = aniso2(h, v[..., 0], v[..., 1])
+    t = np.sqrt((h.ax * ax) ** 2 + (h.ay * ay) ** 2 + v[..., 2] ** 2)
+    k = _vndf_k(h, ax, ay, v[..., 2])
     d2 = k * v[..., 2] + t
     return np.where(np.abs(d2) < 1e-20, 0.0, 2 * hvv * ndf / np.where(d2 == 0, 1, d2) * jac).astype(F)
 
 
-def sample_vndf(seed, a, v):
-    vstd = normalize(np.stack([a * v[..., 0], a * v[..., 1], v[..., 2]], -1))
+def sample_vndf(seed, h, v):
+    vstd = normalize(np.stack([h.ax * v[..., 0], h.ay * v[..., 1], v[..., 2]], -1))
     ux, seed = rnd(seed)
     uy, seed = rnd(seed)
     phi = TWOPI * ux
-    b = vndf_k(a, v) * vstd[..., 2]
+    b = _vndf_k(h, v[..., 0], v[..., 1], v[..., 2]) * vstd[..., 2]
     z = (1 - uy) * (1 + b) - b
     st = np.sqrt(np.clip(1 - z * z, 0, 1))
     dstd = np.stack([st * np.cos(phi), st * np.sin(phi), z], -1).astype(F)
     hstd = vstd + dstd
-    # NOTE the final y-flip: the reference maps back through
-    # mat2(anisoDir, anisoDir.yx*(1,-1)) which is (x, -y) for the default
-    # anisotropyDirection (1, 0) (bsdf.glsl:150,166) — a mirrored frame,
-    # harmless in distribution but sample-for-sample observable.
-    return normalize(np.stack([hstd[..., 0] * a, -(hstd[..., 1] * a), hstd[..., 2]], -1)), seed
+    # map back through mat2(anisoDir, anisoDir.yx*(1,-1)) (bsdf.glsl:150,166)
+    # — an (x, -y) mirror for the default direction, observable per sample
+    ani = normalize(
+        np.stack([hstd[..., 0] * h.ax, hstd[..., 1] * h.ay, hstd[..., 2]], -1)
+    )
+    hx, hy = aniso2(h, ani[..., 0], ani[..., 1])
+    return np.stack([hx, hy, ani[..., 2]], -1).astype(F), seed
 
 
 def sample_cosine(seed):
@@ -365,15 +484,15 @@ def material_pdf(h, v, l):
 
     h_thin = normalize(v + l * np.asarray([1, 1, -1], F))
     f_thin = fresnel(f0, dot(v, h_thin))
-    pdf_thin = vndf_refl_pdf(h.alpha, v, h_thin)
+    pdf_thin = vndf_refl_pdf(h, v, h_thin)
     hr = normalize(eta[..., None] * v + l)
     hr = np.where((eta > 1)[..., None], hr, -hr)
     f_r = fresnel_transmission(f0, eta, dot(v, hr))
-    pdf_r = vndf_refr_pdf(h.alpha, eta, v, l, hr)
+    pdf_r = vndf_refr_pdf(h, eta, v, l, hr)
     pdf_neg = p_t * np.where(h.thin, (1 - f_thin) * pdf_thin, (1 - f_r) * pdf_r)
 
     hh = normalize(v + l)
-    ggx = vndf_refl_pdf(h.alpha, v, hh)
+    ggx = vndf_refl_pdf(h, v, hh)
     pdf_pos = (1 - p_d) * (1 - p_t) * ggx + p_d * ndotl / PI
     vdoth = dot(v, hh)
     ft = np.where(h.thin, fresnel(f0, vdoth), fresnel_transmission(f0, eta, vdoth))
@@ -393,11 +512,11 @@ def material_bsdf(h, wavelength, v, l):
 
     h_thin = normalize(v + l * np.asarray([1, 1, -1], F))
     f_thin = fresnel_vh(f0, v, h_thin)
-    lobe_thin = vis_trans(h.alpha, v, l, h_thin) * d_ggx(h.alpha, h_thin)
+    lobe_thin = vis_trans(h, v, l, h_thin) * d_ggx(h, h_thin)
     hr = normalize(eta[..., None] * v + l)
     hr = np.where((eta > 1)[..., None], hr, -hr)
     f_r = fresnel_transmission(f0, eta, dot(v, hr))
-    lobe_r = vis_refr(h.alpha, eta, v, l, hr) * d_ggx(h.alpha, hr)
+    lobe_r = vis_refr(h, eta, v, l, hr) * d_ggx(h, hr)
     ft_neg = np.where(h.thin, f_thin, f_r)
     lobe_neg = np.where(h.thin, lobe_thin, lobe_r)
     bsdf_neg = (p_t * (1 - ft_neg))[:, None] * h.base * lobe_neg[:, None] * absorb
@@ -405,7 +524,7 @@ def material_bsdf(h, wavelength, v, l):
     hh = normalize(v + l)
     f_diel = fresnel_vh(f0, v, hh)
     f_met = fresnel_vh(h.base, v, hh)
-    spec = vis(h.alpha, v, l) * d_ggx(h.alpha, hh)
+    spec = vis(h, v, l) * d_ggx(h, hh)
     diffuse = (1 - h.transmission)[:, None] * np.where(
         (l[..., 2] > 0)[:, None], h.base / PI, 0
     )
@@ -461,11 +580,11 @@ def sample_material(seed, h, wavelength, view):
     take_t = u_lobe < p_t
 
     # transmission branch
-    h_t, seed_t = sample_vndf(seed, h.alpha, view)
+    h_t, seed_t = sample_vndf(seed, h, view)
     f_thin = fresnel_vh(f0, view, h_t)
     d_thin_r = reflect(-view, h_t)
     thin_fail = d_thin_r[..., 2] < 0
-    pdf_thin = vndf_refl_pdf(h.alpha, view, h_t)
+    pdf_thin = vndf_refl_pdf(h, view, h_t)
     u_flip, seed_tf = rnd(seed_t)
     d_thin = np.where((u_flip > f_thin)[:, None], d_thin_r * np.asarray([1, 1, -1], F), d_thin_r)
     seed_thin = np.where(thin_fail, seed_t, seed_tf)
@@ -478,7 +597,7 @@ def sample_material(seed, h, wavelength, view):
     d_refr = refract(-view, h_t, eta)
     d_vol = np.where(refl[:, None], d_refl, d_refr)
     pdf_vol = np.where(
-        refl, vndf_refl_pdf(h.alpha, view, h_t), vndf_refr_pdf(h.alpha, eta, view, d_refr, h_t)
+        refl, vndf_refl_pdf(h, view, h_t), vndf_refr_pdf(h, eta, view, d_refr, h_t)
     )
     vol_fail = np.where(refl, d_vol[..., 2] < 0, d_vol[..., 2] > 0)
 
@@ -493,13 +612,13 @@ def sample_material(seed, h, wavelength, view):
     is_d = u_d < p_d
     d_cos, seed_cos = sample_cosine(seed_r)
     h_cos = normalize(view + d_cos)
-    h_v, seed_vn = sample_vndf(seed_r, h.alpha, view)
+    h_v, seed_vn = sample_vndf(seed_r, h, view)
     d_vn = reflect(-view, h_v)
     d_r = np.where(is_d[:, None], d_cos, d_vn)
     h_r = np.where(is_d[:, None], h_cos, h_v)
     seed_refl = np.where(is_d, seed_cos, seed_vn)
     fail_r = d_r[..., 2] < 0
-    pdf_g_r = vndf_refl_pdf(h.alpha, view, h_r)
+    pdf_g_r = vndf_refl_pdf(h, view, h_r)
     vd_r = dot(view, h_r)
     ft_r = np.where(
         h.thin | (eta <= 1), fresnel(f0, vd_r), fresnel_transmission(f0, eta, vd_r)
@@ -519,13 +638,13 @@ def sample_material(seed, h, wavelength, view):
 
     lobe_neg = np.where(
         h.thin,
-        vis_trans(h.alpha, view, direction, hw) * d_ggx(h.alpha, hw),
-        vis_refr(h.alpha, eta, view, direction, hw) * d_ggx(h.alpha, hw),
+        vis_trans(h, view, direction, hw) * d_ggx(h, hw),
+        vis_refr(h, eta, view, direction, hw) * d_ggx(h, hw),
     )
     bsdf_neg = (p_t * (1 - ft))[:, None] * base * lobe_neg[:, None] * absorb
     pdf_neg = p_t * (1 - ft) * pdf_g
 
-    spec = vis(h.alpha, view, direction) * d_ggx(h.alpha, hw)
+    spec = vis(h, view, direction) * d_ggx(h, hw)
     diffuse = (1 - h.transmission)[:, None] * np.where(
         (ndotl > 0)[:, None], base / PI, 0
     )
@@ -633,10 +752,28 @@ def sample_lights(sc, h, wavelength, view_world, seed, mask):
         l = (ray / dist[:, None]).astype(F)
         off = np.where(dot(h.normal, l) >= 0, 1.0, -1.0).astype(F)
         ro = (h.pos + (off * BIAS)[:, None] * h.normal).astype(F)
-        t_hit, tri_hit, _, _ = sc.closest(ro, l, F(0.0), dist * F(1.0001) + F(1e-4))
-        visible = m & (tri_hit == st)
+        t_hit, tri_hit, u_hit, v_hit = sc.closest(
+            ro, l, F(0.0), dist * F(1.0001) + F(1e-4)
+        )
+        identity = m & (tri_hit == st)
+        rad_e = sc.emissive[sc.tri_mat[st]].copy()
+        if sc.has_textures:
+            # emissive.rchit:39-41 — emissive texture at the verify-hit uv
+            tex_e = sc.tex_idx[sc.tri_mat[st], 3]
+            uv6 = sc.uv[st]
+            w0h = 1 - u_hit - v_hit
+            uvh = np.stack(
+                [
+                    w0h * uv6[:, 0] + u_hit * uv6[:, 2] + v_hit * uv6[:, 4],
+                    w0h * uv6[:, 1] + u_hit * uv6[:, 3] + v_hit * uv6[:, 5],
+                ],
+                -1,
+            ).astype(F)
+            tex_val = sc.sample_tex(tex_e, uvh)
+            rad_e = np.where((tex_e >= 0)[:, None], rad_e * tex_val[:, :3], rad_e)
+        visible = identity & np.any(rad_e != 0, -1)
         pdf_e = sc.emissive_pdf(ro, l, F(0.0))
-        rad_e = np.where(visible[:, None], sc.emissive[sc.tri_mat[st]], 0).astype(F)
+        rad_e = np.where(visible[:, None], rad_e, 0).astype(F)
         radiance = np.where(pick_a[:, None], radiance, rad_e)
         ldir = np.where(pick_a[:, None], ldir, l)
         pdf = np.where(pick_a, pdf, pdf_e)

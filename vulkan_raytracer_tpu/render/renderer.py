@@ -55,47 +55,72 @@ def _render_batch(tables, view_inv, proj_inv, width, height, max_depth, spp,
     tiles stay square beams); the final inverse permutation restores pixel
     order once.
     """
+    n = width * height
+    if n > MAX_LANES_PER_PASS:
+        raise ValueError("use render_image (banded) above MAX_LANES_PER_PASS")
+
+    def step(acc, s):
+        radiance, rays = render_sample(
+            tables, view_inv, proj_inv, width, height, s, max_depth,
+            nee_weighting=nee_weighting,
+        )
+        return acc + radiance, rays
+
+    init = jnp.zeros((n, 3), jnp.float32)
+    samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
+    return jax.lax.scan(step, init, samples)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6), static_argnames=("nee_weighting",))
+def _render_band(tables, view_inv, proj_inv, width, height, max_depth, spp,
+                 start_sample, lanes, nee_weighting="reference"):
+    """One lane band, all spp, as its own device dispatch (long traversal
+    programs above ~2 minutes per execution fault the TPU worker — bands
+    keep each dispatch bounded and give host-side progress)."""
+
+    def step(acc, s):
+        radiance, rays = render_sample(
+            tables, view_inv, proj_inv, width, height, s, max_depth,
+            lane_idx=lanes, nee_weighting=nee_weighting,
+        )
+        return acc + radiance, rays
+
+    init = jnp.zeros((lanes.shape[0], 3), jnp.float32)
+    samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
+    return jax.lax.scan(step, init, samples)
+
+
+def _render_batch_banded(tables, view_inv, proj_inv, width, height, max_depth,
+                         spp, start_sample, nee_weighting="reference"):
     from .integrator import _block_order
 
     n = width * height
-
-    if n <= MAX_LANES_PER_PASS:
-        def step(acc, s):
-            radiance, rays = render_sample(
-                tables, view_inv, proj_inv, width, height, s, max_depth,
-                nee_weighting=nee_weighting,
-            )
-            return acc + radiance, rays
-
-        init = jnp.zeros((n, 3), jnp.float32)
-        samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
-        return jax.lax.scan(step, init, samples)
-
     n_bands = -(-n // MAX_LANES_PER_PASS)
     per = -(-n // n_bands)
     order, inverse = _block_order(width, height)
     order_pad = np.concatenate(
         [order, np.full(n_bands * per - n, order[-1], np.int32)]
     )
-    lanes_all = jnp.asarray(order_pad.reshape(n_bands, per))
-
-    def band(_, lanes):
-        def step(acc, s):
-            radiance, rays = render_sample(
-                tables, view_inv, proj_inv, width, height, s, max_depth,
-                lane_idx=lanes, nee_weighting=nee_weighting,
+    spp_chunk = min(spp, 4)  # bound per-dispatch work on slow deep scenes
+    acc_bands = []
+    rays = np.zeros((), np.int64)
+    for b in range(n_bands):
+        lanes = jnp.asarray(order_pad[b * per : (b + 1) * per])
+        acc = np.zeros((per, 3), np.float32)
+        s0 = int(start_sample)
+        done = 0
+        while done < spp:
+            c = min(spp_chunk, spp - done)
+            a, r = _render_band(
+                tables, view_inv, proj_inv, width, height, max_depth, c,
+                jnp.uint32(s0 + done), lanes, nee_weighting=nee_weighting,
             )
-            return acc + radiance, rays
-
-        init = jnp.zeros((per, 3), jnp.float32)
-        samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
-        acc, rays = jax.lax.scan(step, init, samples)
-        return None, (acc, rays)
-
-    _, (acc_bands, rays) = jax.lax.scan(band, None, lanes_all)
-    acc = acc_bands.reshape(n_bands * per, 3)[:n]
-    acc = jnp.take(acc, jnp.asarray(inverse), axis=0)
-    return acc, rays.reshape(-1)
+            acc += np.asarray(a)  # sync: one dispatch per (band, chunk)
+            rays = rays + np.asarray(r, np.int64).sum()
+            done += c
+        acc_bands.append(acc)
+    acc = np.concatenate(acc_bands)[:n][np.asarray(inverse)]
+    return jnp.asarray(acc), rays
 
 
 def camera_uniforms(camera: Camera):
@@ -125,7 +150,12 @@ def render_image(
     """
     camera.aspect = width / height
     view_inv, proj_inv = camera_uniforms(camera)
-    acc, rays = _render_batch(
+    batch = (
+        _render_batch
+        if width * height <= MAX_LANES_PER_PASS
+        else _render_batch_banded
+    )
+    acc, rays = batch(
         tables, view_inv, proj_inv, width, height, max_depth, spp,
         jnp.uint32(start_sample), nee_weighting=nee_weighting,
     )
