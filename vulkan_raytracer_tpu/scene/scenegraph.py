@@ -295,6 +295,7 @@ class Scene:
         material: Material,
         transform: np.ndarray | None = None,
         uvs: np.ndarray | None = None,
+        tangents: np.ndarray | None = None,
     ) -> None:
         """Register a raw triangle mesh as a single-primitive node.
 
@@ -313,7 +314,11 @@ class Scene:
         prim = Primitive(
             positions=np.asarray(positions, np.float32),
             normals=np.asarray(normals, np.float32),
-            tangents=np.zeros((nv, 4), np.float32),
+            tangents=(
+                np.zeros((nv, 4), np.float32)
+                if tangents is None
+                else np.asarray(tangents, np.float32)
+            ),
             uvs=(
                 np.zeros((nv, 2), np.float32)
                 if uvs is None
