@@ -141,12 +141,15 @@ def render_image(
     start_sample: int = 1,
     tonemap: bool = True,
     nee_weighting: str = "reference",
+    as_uint8: bool = False,
 ):
     """Headless render: returns ((H, W, 3) float array, total_rays).
 
     ``start_sample`` defaults to 1 so the accumulated image matches the
     reference's steady state (sample 0 is the preview frame and is excluded
-    from its accumulation buffer, raygen.rgen:95-96).
+    from its accumulation buffer, raygen.rgen:95-96).  ``as_uint8`` maps
+    to the display format on-device (the reference's present path) and
+    fetches 4x less data over the host link.
     """
     camera.aspect = width / height
     view_inv, proj_inv = camera_uniforms(camera)
@@ -159,12 +162,20 @@ def render_image(
         tables, view_inv, proj_inv, width, height, max_depth, spp,
         jnp.uint32(start_sample), nee_weighting=nee_weighting,
     )
-    img = acc / jnp.float32(spp)
-    if tonemap:
-        img = reinhard_jodie(img)
+    img = _postprocess(acc, spp, tonemap, as_uint8)
     img = jax.device_get(img).reshape(height, width, 3)
     total_rays = int(np.asarray(jax.device_get(rays), dtype=np.int64).sum())
     return img, total_rays
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _postprocess(acc, spp, tonemap, as_uint8):
+    img = acc / jnp.float32(spp)
+    if tonemap:
+        img = reinhard_jodie(img)
+    if as_uint8:
+        img = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return img
 
 
 class Renderer:
