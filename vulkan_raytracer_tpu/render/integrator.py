@@ -597,34 +597,38 @@ def _sample_emissive(tables, hit, seed, mask):
     light_dir = ray / dist
     ray_o = _offset_origin(hit, light_dir)
 
-    # verification ray: closest hit must be the sampled triangle
-    # (emissive.rchit:47).  The reference uses tMax = dist + 1e-7
-    # (lightsample.glsl:131) which is below f32 ulp at scene scale and
-    # spuriously rejects the target triangle; we use a relative slack —
-    # harmless because the hit identity is checked anyway.
-    (t_hit, tri_hit, u_hit, v_hit), seed = _closest(
+    # Verification ray.  The reference traces a closest-hit ray and checks
+    # the hit identity (emissive.rchit:47, tMax = dist + EPS,
+    # lightsample.glsl:131); "the closest hit is the sampled triangle" is
+    # equivalent to "no accepted hit strictly closer than the sampled
+    # point", which the terminate-on-first-hit occlusion kernel answers in
+    # a fraction of the work (the sampled point lies ON the triangle, so
+    # the triangle itself always hits at ~dist).  The epsilon below plays
+    # the role of the reference's identity check at t-ties.
+    occluded, seed = _shadow(
         tables,
         ray_o,
         light_dir,
-        t_min=0.0,
-        t_max=dist * 1.0001 + jnp.float32(1e-4),
+        t_max=dist * jnp.float32(1.0 - 1e-4) - jnp.float32(1e-5),
         active=mask,
         seed=seed,
     )
-    identity = mask & (tri_hit == scene_tri)
+    identity = mask & ~occluded
 
     mat_i = jnp.take(tables.tri_mat, jnp.maximum(scene_tri, 0), axis=0)
     radiance = v3_gather(tables.materials.emissive_v, mat_i)
     if tables.has_textures:
-        # emissive.rchit:39-41 modulates by the emissive texture sampled at
-        # the verify-hit barycentrics; a black texel leaves instanceHit false
+        # emissive.rchit:39-41 modulates by the emissive texture at the
+        # verify hit; the hit point IS the sampled point, whose exact
+        # barycentric weights are (ux, uy, 1-ux-uy) — no re-intersection
+        # needed.  A black texel leaves instanceHit false.
         tex_e = jnp.take(tables.materials.tex_idx, mat_i, axis=0)[:, 3]
-        w0 = 1.0 - u_hit - v_hit
         uv_g = jnp.take(tables.uv, jnp.maximum(scene_tri, 0), axis=0)
+        w2 = 1.0 - ux - uy
         uv_hit = jnp.stack(
             [
-                w0 * uv_g[:, 0] + u_hit * uv_g[:, 2] + v_hit * uv_g[:, 4],
-                w0 * uv_g[:, 1] + u_hit * uv_g[:, 3] + v_hit * uv_g[:, 5],
+                ux * uv_g[:, 0] + uy * uv_g[:, 2] + w2 * uv_g[:, 4],
+                ux * uv_g[:, 1] + uy * uv_g[:, 3] + w2 * uv_g[:, 5],
             ],
             axis=-1,
         )

@@ -752,20 +752,19 @@ def sample_lights(sc, h, wavelength, view_world, seed, mask):
         l = (ray / dist[:, None]).astype(F)
         off = np.where(dot(h.normal, l) >= 0, 1.0, -1.0).astype(F)
         ro = (h.pos + (off * BIAS)[:, None] * h.normal).astype(F)
-        t_hit, tri_hit, u_hit, v_hit = sc.closest(
-            ro, l, F(0.0), dist * F(1.0001) + F(1e-4)
-        )
-        identity = m & (tri_hit == st)
+        # occlusion form of the verify trace: visible iff nothing closer
+        # than the sampled point (== emissive.rchit's identity check)
+        identity = m & ~sc.occluded(ro, l, dist * F(1.0 - 1e-4) - F(1e-5))
         rad_e = sc.emissive[sc.tri_mat[st]].copy()
         if sc.has_textures:
-            # emissive.rchit:39-41 — emissive texture at the verify-hit uv
+            # emissive.rchit:39-41 — emissive texture at the sampled point
             tex_e = sc.tex_idx[sc.tri_mat[st], 3]
             uv6 = sc.uv[st]
-            w0h = 1 - u_hit - v_hit
+            w2 = 1 - ux - uy
             uvh = np.stack(
                 [
-                    w0h * uv6[:, 0] + u_hit * uv6[:, 2] + v_hit * uv6[:, 4],
-                    w0h * uv6[:, 1] + u_hit * uv6[:, 3] + v_hit * uv6[:, 5],
+                    ux * uv6[:, 0] + uy * uv6[:, 2] + w2 * uv6[:, 4],
+                    ux * uv6[:, 1] + uy * uv6[:, 3] + w2 * uv6[:, 5],
                 ],
                 -1,
             ).astype(F)
