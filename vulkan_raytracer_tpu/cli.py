@@ -5,7 +5,8 @@ Same flags and semantics as src/main.cpp:113-169: ``-r`` resolution,
 transform modifiers composed T*R*S (main.cpp:159-165), ``-c``/``-d`` camera
 pose, ``--skybox``/``--skybox-strength``; comma-separated vector values with
 the ``'d'`` default sentinel.  Headless additions (the reference renders
-only to a swapchain): ``--spp``, ``--output``, ``--frames``.
+only to a swapchain): ``--spp``, ``--output``, ``--hdr-output``,
+``--progressive``, ``--shard``, ``--trace``.
 
 Default scene: the built-in procedural Cornell box (the reference defaults
 to its bundled CornellBox.gltf, main.cpp:156).
