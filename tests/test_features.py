@@ -212,3 +212,36 @@ def test_physical_nee_weighting_brightens_direct_light():
     )
     assert phys.mean() > ref.mean() * 1.05
     assert np.isfinite(phys).all()
+
+
+def test_checkpoint_resume_matches_straight_render(tmp_path):
+    """2 spp + resumed 2 spp == straight 4 spp (same sample indices)."""
+    import numpy as np
+
+    from vulkan_raytracer_tpu import cli
+    from vulkan_raytracer_tpu.utils.image import read_png
+
+    common = ["-m", "cornell", "-r", "20,16", "-b", "2", "-c", "0,1,2.4"]
+    ck = str(tmp_path / "state.npz")
+    cli.main(common + ["--spp", "2", "--checkpoint", ck,
+                       "--output", str(tmp_path / "a.png")])
+    cli.main(common + ["--spp", "2", "--resume", ck,
+                       "--output", str(tmp_path / "b.png")])
+    cli.main(common + ["--spp", "4", "--output", str(tmp_path / "c.png")])
+    b = read_png((tmp_path / "b.png").read_bytes()).astype(np.int32)
+    c = read_png((tmp_path / "c.png").read_bytes()).astype(np.int32)
+    # identical sample set; only f32 summation order differs
+    assert np.abs(b - c).max() <= 1
+
+
+def test_resume_rejects_mismatched_shape(tmp_path):
+    import pytest as _pytest
+
+    from vulkan_raytracer_tpu import cli
+
+    ck = str(tmp_path / "state.npz")
+    cli.main(["-m", "cornell", "-r", "20,16", "-b", "2", "--spp", "1",
+              "--checkpoint", ck, "--output", str(tmp_path / "a.png")])
+    with _pytest.raises(SystemExit):
+        cli.main(["-m", "cornell", "-r", "16,16", "-b", "2", "--spp", "1",
+                  "--resume", ck, "--output", str(tmp_path / "b.png")])

@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write a jax.profiler trace of the render to DIR "
                         "(the reference has only a wall-clock frame timer, "
                         "application.cpp:367)")
+    p.add_argument("--checkpoint", default=None, metavar="NPZ",
+                   help="Write the linear accumulation state after rendering "
+                        "so a later run can --resume with more samples")
+    p.add_argument("--resume", default=None, metavar="NPZ",
+                   help="Continue accumulating on top of a --checkpoint "
+                        "(same scene/camera/resolution/depth)")
     p.add_argument("--nee-weighting", choices=("reference", "physical"),
                    default="reference",
                    help="NEE estimator: 'reference' replicates the "
@@ -230,6 +236,20 @@ def main(argv=None) -> int:
         except Exception as e:  # tunnel/remote backends may not support it
             log.warn("profiler trace unavailable: %s", e)
 
+    # checkpoint/resume: the accumulation buffer is the render's whole
+    # state (raytracer.cpp:129-144); persisting the linear sum + sample
+    # cursor lets long renders continue across runs — a headless capability
+    # the reference's swapchain-only sink cannot offer.
+    acc_prev = None
+    start_sample = 1
+    if args.resume:
+        ck = np.load(args.resume)
+        if tuple(ck["shape"]) != (height, width) or int(ck["depth"]) != args.max_ray_depth:
+            raise SystemExit("--resume checkpoint does not match this render")
+        acc_prev = ck["acc"].astype(np.float32)
+        start_sample = int(ck["next_sample"])
+        log.info("resuming at sample %d from %s", start_sample, args.resume)
+
     t0 = time.perf_counter()
     if args.shard:
         from .parallel.sharding import make_mesh, render_image_sharded
@@ -239,11 +259,25 @@ def main(argv=None) -> int:
         )
     else:
         from .render.renderer import render_image
+        from .ops.tonemap import reinhard_jodie
+        import jax.numpy as jnp
 
-        img, rays = render_image(
+        mean_new, rays = render_image(
             tables, camera, width, height, args.spp, args.max_ray_depth,
+            start_sample=start_sample, tonemap=False,
             nee_weighting=args.nee_weighting,
         )
+        acc = mean_new * np.float32(args.spp)
+        if acc_prev is not None:
+            acc = acc + acc_prev
+        total_spp = start_sample - 1 + args.spp
+        if args.checkpoint:
+            np.savez(args.checkpoint, acc=acc.astype(np.float32),
+                     next_sample=np.int64(start_sample + args.spp),
+                     shape=np.array([height, width]),
+                     depth=np.int64(args.max_ray_depth))
+            log.info("checkpoint -> %s (%d samples)", args.checkpoint, total_spp)
+        img = np.asarray(reinhard_jodie(jnp.asarray(acc / np.float32(total_spp))))
     dt = time.perf_counter() - t0
     log.info(
         "rendered %dx%d @ %d spp depth %d in %.2fs - %.1f Mrays/s",
