@@ -66,6 +66,7 @@ from ..ops.pallas_dense import (
     pallas_emissive_pdf,
     pallas_ok,
     pallas_pdf_ok,
+    pallas_shadow,
 )
 from ..ops.texture import sample_bilinear_stack, sample_equirect
 from ..ops.traverse import trace_closest, trace_emissive_pdf, trace_shadow
@@ -213,10 +214,7 @@ def _shadow(tables, o: V3, d: V3, *, t_max, active, seed):
         if _packet_preferred(tables):
             return packet_shadow(tables, o, d, t_max=t_max, active=active), seed
         if pallas_ok(tables):
-            _, tri, _, _ = pallas_closest(
-                tables, o, d, t_min=0.0, t_max=t_max, active=active
-            )
-            return (tri >= 0) & active, seed
+            return pallas_shadow(tables, o, d, t_max=t_max, active=active), seed
         if _dense_ok(tables):
             return dense_shadow(tables, o, d, t_max=t_max, active=active), seed
         return grid_shadow(
