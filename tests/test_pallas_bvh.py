@@ -126,3 +126,47 @@ def test_packet_dead_lanes_cheap_and_correct(interpret):
     tp, trip, _, _ = packet_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
     assert np.all(np.asarray(trip) == -1)
     assert np.all(np.isinf(np.asarray(tp)))
+
+
+def test_octant_permutations_structure():
+    """Each octant stream is a valid near-first preorder of the same tree."""
+    from vulkan_raytracer_tpu.accel.bvh import build_bvh, octant_permutations
+
+    rng = np.random.default_rng(11)
+    v0 = rng.uniform(-5, 5, (777, 3)).astype(np.float32)
+    v1 = v0 + rng.normal(0, 0.2, (777, 3)).astype(np.float32)
+    v2 = v0 + rng.normal(0, 0.2, (777, 3)).astype(np.float32)
+    bvh = build_bvh(v0, v1, v2)
+    amin = np.asarray(bvh.aabb_min)
+    amax = np.asarray(bvh.aabb_max)
+    first = np.asarray(bvh.first_tri)
+    miss = np.asarray(bvh.miss)
+    n = first.shape[0]
+    size = miss - np.arange(n)
+    center = 0.5 * (amin + amax)
+
+    perms = octant_permutations(amin, amax, first, miss)
+    for o in range(8):
+        old = perms[o]
+        assert sorted(old.tolist()) == list(range(n))  # a permutation
+        new_miss = np.arange(n) + size[old]
+        sgn = np.array(
+            [1 - 2 * (o & 1), 1 - 2 * ((o >> 1) & 1), 1 - 2 * ((o >> 2) & 1)]
+        )
+        for i in range(n):
+            oi = old[i]
+            if first[oi] >= 0:
+                assert new_miss[i] == i + 1  # leaf subtree = itself
+                continue
+            # children cover the subtree contiguously in the new order
+            c1 = i + 1
+            m1 = new_miss[c1]
+            assert i + 1 < new_miss[i] and m1 < new_miss[i]
+            assert new_miss[m1] == new_miss[i]
+            # near-child-first: first child's center is nearer along sgn
+            d1 = center[old[c1]] @ sgn
+            d2 = center[old[m1]] @ sgn
+            assert d1 <= d2 + 1e-5
+            # the two children are the original node's children
+            lo, ro = oi + 1, miss[oi + 1]
+            assert {old[c1], old[m1]} == {lo, ro}

@@ -211,6 +211,65 @@ def refit_bvh(bvh: ThreadedBVH, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
     )
 
 
+def octant_permutations(aabb_min, aabb_max, first_tri, miss) -> np.ndarray:
+    """Preorder permutations of a threaded BVH for the 8 direction octants.
+
+    The driver's RT cores traverse near-child-first per ray; a threaded
+    (skip-pointer) stream fixes ONE child order for everyone, so closest-hit
+    walks find their hit late and t-tightening culls little.  Emitting eight
+    streams — octant ``o`` visits the child nearer along direction signs
+    ``(±1, ±1, ±1)`` first — restores front-to-back order for packets whose
+    rays share an octant (the integrator already sorts bounce waves by
+    octant).
+
+    Vectorised over nodes: under any per-node child swap the subtree stays
+    preorder-contiguous, so ``size_i = miss[i] - i`` is invariant and the
+    new positions solve  pos[first] = pos[i] + 1,
+    pos[second] = pos[i] + 1 + size[first]  level by level (depth sweeps).
+
+    Returns (8, Nn) int32: ``perm[o, new_index] = old_index``.
+    """
+    first_tri = np.asarray(first_tri)
+    miss = np.asarray(miss)
+    n = first_tri.shape[0]
+    center = 0.5 * (np.asarray(aabb_min) + np.asarray(aabb_max))
+    size = miss - np.arange(n)  # subtree node count, invariant under swaps
+    interior = first_tri < 0
+    left = np.where(interior, np.arange(n) + 1, -1)
+    right = np.where(interior, miss[np.minimum(left, n - 1)], -1)
+
+    il = left[interior]
+    ir = right[interior]
+    proj_delta = center[ir] - center[il]  # (Ni, 3)
+    imap = np.cumsum(interior) - 1  # node index -> interior-compressed index
+
+    perms = np.empty((8, n), np.int64)
+    for o in range(8):
+        sgn = np.array(
+            [1 - 2 * (o & 1), 1 - 2 * ((o >> 1) & 1), 1 - 2 * ((o >> 2) & 1)],
+            np.float32,
+        )
+        swap = proj_delta @ sgn < 0.0  # right child nearer -> visit first
+        first_c = np.where(swap, ir, il)
+        second_c = np.where(swap, il, ir)
+        pos = np.full(n, -1, np.int64)
+        pos[0] = 0
+        frontier = np.array([0], np.int64)
+        while frontier.size:
+            f = frontier[interior[frontier]]
+            if f.size == 0:
+                break
+            fi = imap[f]
+            fc, sc = first_c[fi], second_c[fi]
+            pos[fc] = pos[f] + 1
+            pos[sc] = pos[f] + 1 + size[fc]
+            frontier = np.concatenate([fc, sc])
+        perm = np.empty(n, np.int64)
+        perm[pos] = np.arange(n)
+        perms[o] = perm
+    return perms.astype(np.int32)
+
+
 def _finish(node_min, node_max, first_tri, miss, slots, v0, v1, v2, leaf_size):
     safe = np.maximum(slots, 0)
     pad = (slots < 0)[:, None]

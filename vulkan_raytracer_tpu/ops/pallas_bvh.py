@@ -5,32 +5,41 @@ shaders/raygen.rgen:59); the TPU has no traversal hardware and per-lane
 pointer chasing dies on gather latency (measured: the XLA threaded-BVH walk
 runs ~3 orders of magnitude below VPU peak past 64k triangles).  This
 kernel instead traverses in *packets*: one tile of rays (8x128 = 1024
-lanes) shares a single scalar cursor into the threaded (skip-pointer) BVH
-of :mod:`vulkan_raytracer_tpu.accel.bvh`.
+lanes) shares a single scalar cursor into a threaded (skip-pointer) BVH
+stream derived from :mod:`vulkan_raytracer_tpu.accel.bvh`.
 
 Why this maps well onto a TPU core:
 
 * The threaded layout makes the cursor **monotone increasing** (hit ->
   ``cur+1``, miss/leaf -> ``miss[cur] > cur``), so node *and* leaf-triangle
   accesses stream strictly forward.  Both tables are therefore DMA'd
-  HBM -> SMEM in aligned chunks on demand — no per-lane gathers anywhere.
-* Interior nodes are culled with a **conservative scalar beam test**:
-  interval arithmetic over the tile's origin box, direction interval and
-  running max-t — a handful of scalar ops per node, with NO vector work
-  and no vector->scalar reduce on the hot path (a per-lane slab test costs
-  ~600 cycles/node on v5e from exactly that serialisation; the beam test
-  measured ~10x cheaper).
+  HBM -> on-chip in aligned chunks on demand — no per-lane gathers.
+* Interior nodes are culled with a **conservative beam test** (interval
+  arithmetic over the tile's origin box and direction interval) that is
+  evaluated ONE CHUNK AT A TIME by the VPU: the node stream is field-major
+  ((6, rows, 128) box components), so the 1024-node slab test is lane-wise
+  vector math with no cross-sublane relayouts, and each node's traversal
+  decision is pre-encoded into a single int (see ``_kernel``).  The serial
+  hot path is then two SMEM reads and a sign test per visited node (~6
+  scalar ops), versus ~75 for an in-loop scalar slab test — the earlier
+  all-scalar variant measured ~200 ns/visit and this is what the
+  "35 ns/visit" microbench floor buys.  Two measured dead ends to not
+  revisit: a per-(tile, node) t_near table precomputed by XLA outside the
+  kernel (57x SLOWER coherent — HBM traffic per trace swamps the walk) and
+  in-kernel vectorisation over a (1, 512) row layout (40x slower — every
+  op relayouts across sublanes).
+* **Eight per-octant streams**: each direction octant gets its own
+  near-child-first preorder (accel.bvh.octant_permutations), so coherent
+  packets walk front-to-back and the running max-t kills far subtrees
+  early — the software stand-in for the RT cores' ordered traversal.
+  Leaf tables are re-ordered per octant too, keeping leaf DMA streaming
+  forward.  A tile picks its stream by the sign of its mean live
+  direction; mixed tiles just get a valid-but-unordered stream.
 * Leaf intersection restores per-lane exactness: ``leaf_size`` statically
   unrolled Möller–Trumbore tests, scalar-broadcast against the full tile.
-* A tile whose rays all died (t bound -1) fails every slab test and exits
-  along the miss chain in O(depth) steps — wavefront compaction comes free
-  with alive-first lane ordering.
-
-Stream layouts obey Mosaic DMA tiling ((8, 128) for f32): nodes pack
-[bmin.xyz, bmax.xyz, first, miss] into an (8, Nn) float array (the two int
-fields are exact in f32 below 2^24 slots), and leaves pack their
-``leaf_size`` triangles' 9 Möller–Trumbore constants into one
-(9*leaf_size, Nleaf) column each.
+* A tile whose rays all died (t bound -1) fails the beam test everywhere
+  (t_near >= 0 > tmax) and exits along the miss chain in O(depth) steps —
+  wavefront compaction comes free with alive-first lane ordering.
 
 The cost model is packet coherence: all lanes visit the union of their
 nodes.  Primary rays in image order are coherent; the integrator improves
@@ -49,6 +58,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,76 +66,166 @@ from .math3 import v3_gather
 
 _TILE_S, _TILE_L = 8, 128
 _TILE = _TILE_S * _TILE_L
-#: node-stream chunk (nodes per DMA); multiple of 128 lanes
-NODE_CHUNK = 512
+#: node-stream chunk (nodes per DMA); 8 sublane rows x 128 lanes keeps every
+#: chunk block at the (8, 128) f32 Mosaic tile shape
+NODE_CHUNK = 1024
 #: leaf-stream chunk (leaves per DMA); multiple of 128 lanes
 LEAF_CHUNK = 128
 
+_CROWS = NODE_CHUNK // _TILE_L  # sublane rows per node chunk
 _NEG_BIG = -(2**30)
+_BIGF = jnp.float32(1e30)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PacketBVH:
-    """Stream-layout mirror of :class:`ThreadedBVH` for the packet kernel.
+    """Per-octant stream layout of a ThreadedBVH for the packet kernel.
 
-    ``nodes`` rows are [bmin.xyz, bmax.xyz, first_leaf, miss] — the last two
-    are integers stored exactly as f32 (guarded < 2^24).  ``first_leaf`` is
-    the LEAF index (first_tri / leaf_size), -1 for interior nodes.
-    ``leaves`` columns hold one leaf each: rows j*9 + c are triangle j's
-    Möller–Trumbore constants [v0.xyz, e1.xyz, e2.xyz]; padded slots are
-    degenerate (zero edges -> no hit).  Both padded to chunk multiples.
+    Leading axis 8 = direction octant (bit k set <=> d[k] < 0), each a
+    near-child-first preorder of the same tree.  ``nodes_i`` rows are
+    [first_leaf, miss]; ``first_leaf`` is the octant-local LEAF index
+    (-1 for interior).  ``leaves`` columns hold one leaf each in octant
+    visit order: rows j*9 + c are triangle j's Möller–Trumbore constants
+    [v0.xyz, e1.xyz, e2.xyz]; padded slots are degenerate (zero edges ->
+    no hit).  ``tri_id[o, leaf*K + j]`` maps back to scene triangle ids
+    (-1 padding).  All padded to chunk multiples.
     """
 
-    nodes: jax.Array  # (8, Nn_pad) f32
-    leaves: jax.Array  # (9*leaf_size, Nleaf_pad) f32
-    tri_id: jax.Array  # (Nt_slots,) i32 (-1 padding), slot = leaf*K + j
+    leaves: jax.Array  # (8, 9*leaf_size, Nleaf_pad) f32
+    tri_id: jax.Array  # (8, Nt_slots) i32
+    nodes_f: jax.Array  # (8, 6, Nc, 128) f32: bmin.xyz, bmax.xyz
+    nodes_i: jax.Array  # (8, 2, Nc, 128) i32: first_leaf, miss
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     leaf_size: int = dataclasses.field(metadata=dict(static=True))
 
 
+def _pad_np(x, m, fill=0.0):
+    n = x.shape[-1]
+    p = -(-n // m) * m - n
+    if p:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, p)]
+        x = np.pad(x, pad, constant_values=fill)
+    return x
+
+
 def build_packet_bvh(bvh) -> PacketBVH:
-    """Repack a ThreadedBVH into the stream layout (device-side)."""
+    """Repack a ThreadedBVH into 8 per-octant packet streams (host-side)."""
+    from ..accel.bvh import octant_permutations
+
     k = bvh.leaf_size
-    if (9 * k) % 8 != 0:
-        raise ValueError("packet kernel needs leaf_size a multiple of 8")
     if bvh.num_tri_slots >= 2**24 or bvh.num_nodes >= 2**24:
-        raise ValueError("packet stream float-packed indices exceed 2^24")
+        raise ValueError("packet stream indices exceed 2^24 guard")
 
-    def pad_to(x, m, fill=0):
-        n = x.shape[-1]
-        p = -(-n // m) * m - n
-        if p:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, p)], constant_values=fill)
-        return x
+    amin = np.asarray(bvh.aabb_min)
+    amax = np.asarray(bvh.aabb_max)
+    first = np.asarray(bvh.first_tri)
+    miss = np.asarray(bvh.miss)
+    tri_id = np.asarray(bvh.tri_id)
+    n = first.shape[0]
+    size = miss - np.arange(n)
+    first_leaf = np.where(first >= 0, first // k, -1)
+    # (Nleaf, 9k) leaf-major triangle constants, original leaf order
+    tri9 = np.concatenate(
+        [np.asarray(bvh.tri_v0), np.asarray(bvh.tri_e1), np.asarray(bvh.tri_e2)],
+        axis=1,
+    ).reshape(-1, k * 9)
 
-    first_leaf = jnp.where(bvh.first_tri >= 0, bvh.first_tri // k, -1)
-    nodes = pad_to(
-        jnp.concatenate(
-            [
-                bvh.aabb_min.T,
-                bvh.aabb_max.T,
-                first_leaf[None].astype(jnp.float32),
-                bvh.miss[None].astype(jnp.float32),
-            ],
-            axis=0,
-        ),
-        NODE_CHUNK,
-    ).astype(jnp.float32)
-    # (Nt, 3) x3 -> (Nleaf, k*9) -> (k*9, Nleaf)
-    tri9 = jnp.concatenate([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
-    leaves = pad_to(tri9.reshape(-1, k * 9).T.astype(jnp.float32), LEAF_CHUNK)
+    perms = octant_permutations(amin, amax, first, miss)
+
+    nf, ni, lv, tid = [], [], [], []
+    for o in range(8):
+        old = perms[o]  # new node index -> old node index
+        fl_old = first_leaf[old]
+        leafmask = fl_old >= 0
+        # renumber leaves along this octant's preorder -> forward streaming
+        fl_new = np.where(leafmask, np.cumsum(leafmask) - 1, -1).astype(np.int64)
+        leaf_perm = fl_old[leafmask]  # new leaf index -> old leaf index
+        nf.append(
+            _pad_np(
+                np.concatenate([amin[old].T, amax[old].T], axis=0).astype(
+                    np.float32
+                ),
+                NODE_CHUNK,
+            ).reshape(6, -1, 128)
+        )
+        ni.append(
+            np.stack(
+                [
+                    _pad_np(fl_new[None], NODE_CHUNK, -1)[0],
+                    _pad_np(
+                        (np.arange(n) + size[old])[None], NODE_CHUNK, n
+                    )[0],
+                ],
+                axis=0,
+            )
+            .astype(np.int32)
+            .reshape(2, -1, 128)
+        )
+        lv.append(_pad_np(tri9[leaf_perm].T.astype(np.float32), LEAF_CHUNK))
+        tid.append(tri_id.reshape(-1, k)[leaf_perm].reshape(-1).astype(np.int32))
+
     return PacketBVH(
-        nodes=nodes,
-        leaves=leaves,
-        tri_id=bvh.tri_id.astype(jnp.int32),
+        leaves=jnp.asarray(np.stack(lv)),
+        tri_id=jnp.asarray(np.stack(tid)),
+        nodes_f=jnp.asarray(np.stack(nf)),
+        nodes_i=jnp.asarray(np.stack(ni)),
         num_nodes=bvh.num_nodes,
         leaf_size=k,
     )
 
 
+def _tile_beam_bounds(rays, t_init):
+    """Per-tile beam scalars + stream octant, precomputed at full VPU rate
+    outside the kernel: origin box [olo, ohi] per axis and direction
+    reciprocal interval [ia, ib] per axis -> (T, 12) f32, plus the octant
+    of the mean live direction -> (T, 1) i32.  Dead lanes (t_init < 0) are
+    excluded so padding/retired lanes don't dilate the beam."""
+    ox, oy, oz, dx, dy, dz = rays
+    t = t_init.reshape(-1, _TILE)
+    dead = t < 0.0
+
+    def lohi(x):
+        xt = x.reshape(-1, _TILE)
+        lo = jnp.min(jnp.where(dead, _BIGF, xt), axis=1)
+        hi = jnp.max(jnp.where(dead, -_BIGF, xt), axis=1)
+        return lo, hi
+
+    def inv_interval(d):
+        dt = d.reshape(-1, _TILE)
+        d_lo = jnp.min(jnp.where(dead, _BIGF, dt), axis=1)
+        d_hi = jnp.max(jnp.where(dead, -_BIGF, dt), axis=1)
+        uni = (d_lo > 0.0) | (d_hi < 0.0)
+        ia = jnp.where(uni, 1.0 / jnp.where(d_hi == 0.0, -1e-30, d_hi), -_BIGF)
+        ib = jnp.where(uni, 1.0 / jnp.where(d_lo == 0.0, 1e-30, d_lo), _BIGF)
+        return ia, ib
+
+    def mean_neg(d):
+        dt = d.reshape(-1, _TILE)
+        return jnp.sum(jnp.where(dead, 0.0, dt), axis=1) < 0.0
+
+    olx, ohx = lohi(ox)
+    oly, ohy = lohi(oy)
+    olz, ohz = lohi(oz)
+    iax, ibx = inv_interval(dx)
+    iay, iby = inv_interval(dy)
+    iaz, ibz = inv_interval(dz)
+    bounds = jnp.stack(
+        [olx, ohx, oly, ohy, olz, ohz, iax, ibx, iay, iby, iaz, ibz], axis=1
+    )
+    octs = (
+        mean_neg(dx).astype(jnp.int32)
+        + 2 * mean_neg(dy).astype(jnp.int32)
+        + 4 * mean_neg(dz).astype(jnp.int32)
+    )[:, None]
+    return bounds, octs
+
+
 def _kernel(
-    nodes_hbm,
+    bounds_ref,
+    oct_ref,
+    nodes_f_hbm,
+    nodes_i_hbm,
     leaves_hbm,
     ox,
     oy,
@@ -137,18 +237,40 @@ def _kernel(
     t0_ref,
     tout,
     slotout,
-    nf_s,
-    lf_s,
-    base_s,
-    tmax_s,
-    tb_ref,
-    sb_ref,
-    sems,
-    *,
+    *rest,
     end: int,
     leaf_size: int,
     shadow: bool,
+    stats: bool = False,
 ):
+    if stats:
+        statsout, *rest = rest
+    (
+        code_s,
+        lf_s,
+        base_s,
+        tmax_s,
+        cnt_s,
+        nf_v,
+        ni_v,
+        code_v,
+        tb_ref,
+        sb_ref,
+        sems,
+    ) = rest
+    """Vector-culled packet walk.  Per 1024-node chunk, ONE vectorised pass
+    evaluates the beam slab test for all nodes ((rows, 128) lane-wise math
+    on the field-major stream) and pre-encodes each node's decision:
+
+      code[n] = miss[n]            dead (beam miss / beaten by tmax)
+              = n + 1              alive interior -> descend
+              = -(first_leaf + 2)  alive leaf     -> intersect, then miss[n]
+
+    so the serial hot path is two SMEM reads and a sign test.  The tmax
+    snapshot taken at chunk entry is conservative: t tightens only at
+    leaves, so late chunk nodes may run a stale (looser) test — extra
+    visits, never misses.
+    """
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     t_lo = tlo_ref[:]
@@ -157,95 +279,112 @@ def _kernel(
     sb_ref[:] = jnp.full((_TILE_S, _TILE_L), -1, jnp.int32)
     base_s[0] = _NEG_BIG  # node chunk base
     base_s[1] = _NEG_BIG  # leaf chunk base
-    # running scalar t upper bound across live lanes (dead lanes carry -1)
     tmax_s[0] = jnp.max(tb_ref[:])
+    if stats:
+        cnt_s[0] = 0  # node visits
+        cnt_s[1] = 0  # leaf visits
+        cnt_s[2] = 0  # node-chunk refills
+        cnt_s[3] = 0  # leaf-chunk DMAs
+    # Mosaic SMEM blocks need sublane counts divisible by 8, so programs
+    # share (8, .) blocks of the per-tile tables and read their own row
+    row = pl.program_id(0) % 8
+    oct_i = oct_ref[row, 0]
 
-    # ---- beam bounds: interval arithmetic over the tile's rays ---------
-    # Interior nodes are culled with a CONSERVATIVE scalar slab test of the
-    # whole beam (origin box x direction interval) — zero vector work per
-    # node, no vector->scalar reduce on the hot path.  Per-lane exactness
-    # is restored at leaves by the Möller–Trumbore tests.
-    big = jnp.float32(1e30)
-
-    def interval(x):
-        return jnp.min(x), jnp.max(x)
-
-    o_lo_x, o_hi_x = interval(o_x)
-    o_lo_y, o_hi_y = interval(o_y)
-    o_lo_z, o_hi_z = interval(o_z)
-
-    def inv_interval(d):
-        d_lo, d_hi = interval(d)
-        sign_uniform = (d_lo > 0.0) | (d_hi < 0.0)
-        ia = jnp.where(sign_uniform, 1.0 / jnp.where(d_hi == 0.0, -1e-30, d_hi), -big)
-        ib = jnp.where(sign_uniform, 1.0 / jnp.where(d_lo == 0.0, 1e-30, d_lo), big)
-        return ia, ib
-
-    ia_x, ib_x = inv_interval(d_x)
-    ia_y, ib_y = inv_interval(d_y)
-    ia_z, ib_z = inv_interval(d_z)
+    olx, ohx = bounds_ref[row, 0], bounds_ref[row, 1]
+    oly, ohy = bounds_ref[row, 2], bounds_ref[row, 3]
+    olz, ohz = bounds_ref[row, 4], bounds_ref[row, 5]
+    iax, ibx = bounds_ref[row, 6], bounds_ref[row, 7]
+    iay, iby = bounds_ref[row, 8], bounds_ref[row, 9]
+    iaz, ibz = bounds_ref[row, 10], bounds_ref[row, 11]
 
     def axis_bounds(bmin, bmax, olo, ohi, ia, ib):
         a = bmin - ohi
         b = bmin - olo
         c = bmax - ohi
         e = bmax - olo
-        p1, p2, p3, p4 = a * ia, a * ib, b * ia, b * ib
-        q1, q2, q3, q4 = c * ia, c * ib, e * ia, e * ib
         near = jnp.minimum(
-            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
-            jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4)),
+            jnp.minimum(jnp.minimum(a * ia, a * ib), jnp.minimum(b * ia, b * ib)),
+            jnp.minimum(jnp.minimum(c * ia, c * ib), jnp.minimum(e * ia, e * ib)),
         )
         far = jnp.maximum(
-            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
-            jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4)),
+            jnp.maximum(jnp.maximum(a * ia, a * ib), jnp.maximum(b * ia, b * ib)),
+            jnp.maximum(jnp.maximum(c * ia, c * ib), jnp.maximum(e * ia, e * ib)),
         )
         return near, far
 
-    def fetch(dst, src, base, chunk, sem):
-        cp = pltpu.make_async_copy(src.at[:, pl.ds(base, chunk)], dst, sem)
-        cp.start()
-        cp.wait()
-
     def body(cur):
-        # ---- node chunk residency (cursor is monotone increasing) ------
+        # ---- chunk entry: DMA fields, vector-cull, encode decisions -----
         @pl.when(cur >= base_s[0] + NODE_CHUNK)
         def _():
             nb = pl.multiple_of((cur // NODE_CHUNK) * NODE_CHUNK, NODE_CHUNK)
-            fetch(nf_s, nodes_hbm, nb, NODE_CHUNK, sems.at[0])
+            rb = pl.multiple_of(nb // _TILE_L, _CROWS)
+            cpf = pltpu.make_async_copy(
+                nodes_f_hbm.at[oct_i, :, pl.ds(rb, _CROWS), :], nf_v, sems.at[0]
+            )
+            cpf.start()
+            cpi = pltpu.make_async_copy(
+                nodes_i_hbm.at[oct_i, :, pl.ds(rb, _CROWS), :], ni_v, sems.at[1]
+            )
+            cpi.start()
+            cpf.wait()
+            cpi.wait()
+
+            n_x, f_x = axis_bounds(nf_v[0], nf_v[3], olx, ohx, iax, ibx)
+            n_y, f_y = axis_bounds(nf_v[1], nf_v[4], oly, ohy, iay, iby)
+            n_z, f_z = axis_bounds(nf_v[2], nf_v[5], olz, ohz, iaz, ibz)
+            t_near = jnp.maximum(
+                jnp.maximum(n_x, n_y), jnp.maximum(n_z, jnp.float32(0.0))
+            )
+            t_far = jnp.minimum(jnp.minimum(f_x, f_y), f_z)
+            alive = (t_near <= t_far) & (t_near <= tmax_s[0])
+            fl = ni_v[0]
+            miss = ni_v[1]
+            nxt1 = (
+                nb
+                + 1
+                + jax.lax.broadcasted_iota(jnp.int32, (_CROWS, _TILE_L), 0)
+                * _TILE_L
+                + jax.lax.broadcasted_iota(jnp.int32, (_CROWS, _TILE_L), 1)
+            )
+            code_v[:] = jnp.where(alive, jnp.where(fl >= 0, -fl - 2, nxt1), miss)
+            cpc = pltpu.make_async_copy(code_v, code_s, sems.at[2])
+            cpc.start()
+            cpc.wait()
             base_s[0] = nb
+            if stats:
+                cnt_s[2] = cnt_s[2] + 1
 
+        if stats:
+            cnt_s[0] = cnt_s[0] + 1
         off = cur - base_s[0]
-        bmin_x = nf_s[0, off]
-        bmin_y = nf_s[1, off]
-        bmin_z = nf_s[2, off]
-        bmax_x = nf_s[3, off]
-        bmax_y = nf_s[4, off]
-        bmax_z = nf_s[5, off]
-        first_leaf = nf_s[6, off].astype(jnp.int32)
-        miss = nf_s[7, off].astype(jnp.int32)
-
-        # ---- conservative scalar beam/AABB slab test --------------------
-        n_x, f_x = axis_bounds(bmin_x, bmax_x, o_lo_x, o_hi_x, ia_x, ib_x)
-        n_y, f_y = axis_bounds(bmin_y, bmax_y, o_lo_y, o_hi_y, ia_y, ib_y)
-        n_z, f_z = axis_bounds(bmin_z, bmax_z, o_lo_z, o_hi_z, ia_z, ib_z)
-        t_near = jnp.maximum(jnp.maximum(n_x, n_y), jnp.maximum(n_z, jnp.float32(0.0)))
-        t_far = jnp.minimum(jnp.minimum(f_x, f_y), jnp.minimum(f_z, tmax_s[0]))
-        # all-dead tiles: tmax = -1 -> t_far < 0 <= t_near, never descend
-        any_hit = t_near <= t_far
-        is_leaf = first_leaf >= 0
+        code = code_s[off >> 7, off & 127]
+        is_leaf = code < -1
 
         # ---- leaf: unrolled MT over the tile ----------------------------
-        @pl.when(any_hit & is_leaf)
+        @pl.when(is_leaf)
         def _():
-            @pl.when((first_leaf < base_s[1]) | (first_leaf >= base_s[1] + LEAF_CHUNK))
+            first_leaf = -code - 2
+
+            @pl.when(
+                (first_leaf < base_s[1]) | (first_leaf >= base_s[1] + LEAF_CHUNK)
+            )
             def _():
                 lb = pl.multiple_of(
                     (first_leaf // LEAF_CHUNK) * LEAF_CHUNK, LEAF_CHUNK
                 )
-                fetch(lf_s, leaves_hbm, lb, LEAF_CHUNK, sems.at[1])
+                cp = pltpu.make_async_copy(
+                    leaves_hbm.at[oct_i, :, pl.ds(lb, LEAF_CHUNK)],
+                    lf_s,
+                    sems.at[1],
+                )
+                cp.start()
+                cp.wait()
                 base_s[1] = lb
+                if stats:
+                    cnt_s[3] = cnt_s[3] + 1
 
+            if stats:
+                cnt_s[1] = cnt_s[1] + 1
             loff = first_leaf - base_s[1]
             tb_v = tb_ref[:]
             sb_v = sb_ref[:]
@@ -285,7 +424,7 @@ def _kernel(
                 )
                 if shadow:
                     # any accepted hit occludes; kill the bound so the lane
-                    # stops passing slab tests (terminate-on-first-hit,
+                    # stops passing beam tests (terminate-on-first-hit,
                     # lightsample.glsl:27)
                     tb_v = jnp.where(hit, -1.0, tb_v)
                     sb_v = jnp.where(hit, first_leaf * leaf_size + j, sb_v)
@@ -296,50 +435,82 @@ def _kernel(
 
             tb_ref[:] = tb_v
             sb_ref[:] = sb_v
-            # tighten the scalar beam bound (shadow: occluded lanes fell to
-            # -1, shrinking it toward early exit)
+            # tighten the beam bound (shadow: occluded lanes fell to -1,
+            # shrinking it toward the all-dead early exit)
             tmax_s[0] = jnp.max(tb_v)
 
-        return jnp.where(any_hit & ~is_leaf, cur + 1, miss)
+        # a leaf's skip pointer is always cur + 1: its preorder subtree is
+        # itself, so miss = index + size = cur + 1 — no miss table needed
+        return jnp.where(is_leaf, cur + 1, code)
 
     jax.lax.while_loop(lambda cur: cur < end, body, jnp.int32(0))
     tout[:] = tb_ref[:]
     slotout[:] = sb_ref[:]
+    if stats:
+        r = jax.lax.broadcasted_iota(jnp.int32, (_TILE_S, _TILE_L), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (_TILE_S, _TILE_L), 1)
+        vals = jnp.where(
+            r == 0,
+            cnt_s[0],
+            jnp.where(r == 1, cnt_s[1], jnp.where(r == 2, cnt_s[2], cnt_s[3])),
+        )
+        statsout[:] = jnp.where((c == 0) & (r < 4), vals, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("end", "leaf_size", "shadow")
+    jax.jit, static_argnames=("end", "leaf_size", "shadow", "stats")
 )
-def _packet_sweep(pb_arrays, rays, t_lo, t_init, end, leaf_size, shadow):
-    nodes, leaves = pb_arrays
+def _packet_sweep(
+    pb_arrays, bounds, octs, rays, t_lo, t_init, end, leaf_size, shadow, stats=False
+):
+    nodes_f, nodes_i, leaves = pb_arrays
     n_rows = rays[0].shape[0]
     grid = (n_rows // _TILE_S,)
     ray_spec = pl.BlockSpec(
         (_TILE_S, _TILE_L), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    # (8, .) tile-table blocks shared by 8 consecutive programs (Mosaic
+    # requires sublane counts divisible by 8); rows padded to match
+    t_pad = -(-bounds.shape[0] // 8) * 8 - bounds.shape[0]
+    if t_pad:
+        bounds = jnp.pad(bounds, ((0, t_pad), (0, 0)))
+        octs = jnp.pad(octs, ((0, t_pad), (0, 0)))
+    bounds_spec = pl.BlockSpec((8, 12), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    oct_spec = pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    out_specs = (ray_spec, ray_spec)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
+    )
+    if stats:
+        out_specs = out_specs + (ray_spec,)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
+        )
     return pl.pallas_call(
         functools.partial(
-            _kernel, end=end, leaf_size=leaf_size, shadow=shadow
+            _kernel, end=end, leaf_size=leaf_size, shadow=shadow, stats=stats
         ),
         grid=grid,
-        in_specs=[any_spec] * 2 + [ray_spec] * 8,
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
-        ),
+        in_specs=[bounds_spec, oct_spec] + [any_spec] * 3 + [ray_spec] * 8,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((8, NODE_CHUNK), jnp.float32),
+            pltpu.SMEM((_CROWS, _TILE_L), jnp.int32),  # code_s
             pltpu.SMEM((9 * leaf_size, LEAF_CHUNK), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),  # cnt_s (stats)
+            pltpu.VMEM((6, _CROWS, _TILE_L), jnp.float32),  # nf_v
+            pltpu.VMEM((2, _CROWS, _TILE_L), jnp.int32),  # ni_v
+            pltpu.VMEM((_CROWS, _TILE_L), jnp.int32),  # code_v
             pltpu.VMEM((_TILE_S, _TILE_L), jnp.float32),
             pltpu.VMEM((_TILE_S, _TILE_L), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=bool(os.environ.get("VKRT_PALLAS_INTERPRET")),
-    )(nodes, leaves, *rays, t_lo, t_init)
+    )(bounds, octs, nodes_f, nodes_i, leaves, *rays, t_lo, t_init)
 
 
 def packet_ok(tables) -> bool:
@@ -353,11 +524,21 @@ def _prep_rays(o, d, t_init_flat):
     n = o.x.shape[0]
     n_pad = -(-n // _TILE) * _TILE
 
-    def prep(x):
-        return jnp.pad(x, (0, n_pad - n)).reshape(n_pad // _TILE_L, _TILE_L)
+    def prep(x, fill=0.0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=fill).reshape(
+            n_pad // _TILE_L, _TILE_L
+        )
 
     rays = (prep(o.x), prep(o.y), prep(o.z), prep(d.x), prep(d.y), prep(d.z))
-    return rays, prep(t_init_flat), n
+    # padding lanes are dead (t bound -1): they never hit, and the per-tile
+    # beam bounds exclude them from the origin box
+    return rays, prep(t_init_flat, -1.0), n
+
+
+def _oct_lane(octs, n):
+    return jnp.repeat(octs[:, 0], _TILE, total_repeat_length=octs.shape[0] * _TILE)[
+        :n
+    ]
 
 
 def packet_closest(tables, o, d, *, t_min, t_max, active):
@@ -372,8 +553,11 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
     t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     rays, t_init, _ = _prep_rays(o, d, jnp.where(active, t_bound, -1.0))
     t_lo = jnp.pad(t_lo, (0, t_init.size - n)).reshape(t_init.shape)
+    bounds, octs = _tile_beam_bounds(rays, t_init)
     t_best, slot = _packet_sweep(
-        (pb.nodes, pb.leaves),
+        (pb.nodes_f, pb.nodes_i, pb.leaves),
+        bounds,
+        octs,
         rays,
         t_lo,
         t_init,
@@ -383,7 +567,10 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
     )
     t_best = t_best.reshape(-1)[:n]
     slot = slot.reshape(-1)[:n]
-    tri = jnp.take(pb.tri_id, jnp.maximum(slot, 0), axis=0)
+    # slot -> scene triangle id through the tile's octant stream
+    nt = pb.tri_id.shape[1]
+    flat = _oct_lane(octs, n) * nt + jnp.maximum(slot, 0)
+    tri = jnp.take(pb.tri_id.reshape(-1), flat, axis=0)
     found = (slot >= 0) & (tri >= 0)
     tri = jnp.where(found, tri, -1)
 
@@ -413,8 +600,11 @@ def packet_shadow(tables, o, d, *, t_max, active):
     t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     rays, t_init, _ = _prep_rays(o, d, jnp.where(active, t_bound, -1.0))
     t_lo = jnp.zeros_like(t_init)
+    bounds, octs = _tile_beam_bounds(rays, t_init)
     _, slot = _packet_sweep(
-        (pb.nodes, pb.leaves),
+        (pb.nodes_f, pb.nodes_i, pb.leaves),
+        bounds,
+        octs,
         rays,
         t_lo,
         t_init,
