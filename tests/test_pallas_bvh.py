@@ -44,9 +44,7 @@ def test_packet_closest_matches_dense_cornell(interpret):
     trip_n, trid_n = np.asarray(trip), np.asarray(trid)
     np.testing.assert_array_equal(trip_n >= 0, trid_n >= 0)
     m = trip_n >= 0
-    # rtol 1e-4: the kernel's Baldwin-Weber t differs from dense MT by fp
-    # formulation only (plane dot vs cross-product quotient)
-    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-5)
     same = trip_n == trid_n
     assert same[m].mean() > 0.995
     np.testing.assert_allclose(
@@ -73,7 +71,7 @@ def test_packet_closest_matches_dense_soup(interpret):
     # order, so compare by t and verify ids where t is unique
     np.testing.assert_array_equal(np.asarray(trip) >= 0, np.asarray(trid) >= 0)
     m = np.asarray(trip) >= 0
-    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-5)
     same = np.asarray(trip) == np.asarray(trid)
     assert same[m].mean() > 0.999  # identical winners except fp-tie noise
     np.testing.assert_allclose(

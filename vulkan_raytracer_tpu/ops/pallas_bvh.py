@@ -36,9 +36,12 @@ Why this maps well onto a TPU core:
   forward.  A tile picks its stream by the sign of its mean live
   direction; mixed tiles just get a valid-but-unordered stream.
 * Leaf intersection restores per-lane exactness: ``leaf_size`` statically
-  unrolled Baldwin-Weber plane/affine tests (12 precomputed constants per
-  triangle; ~30% fewer vector ops than Möller-Trumbore), scalar-broadcast
-  against the full tile.
+  unrolled Möller–Trumbore tests, scalar-broadcast against the full tile.
+  Leaf visits are SCALAR-READ-bound, not vector-bound: a Baldwin-Weber
+  leaf form (12 precomputed constants, ~30% fewer vector ops) measured
+  SLOWER everywhere (swizzled 5.90 -> 5.58, bounce 0.39 -> 0.35 Mrays/s)
+  because 12 SMEM broadcasts per triangle beat 9 + the vector savings —
+  the 9-constant MT budget is a measured floor.
 * A tile whose rays all died (t bound -1) fails the beam test everywhere
   (t_near >= 0 > tmax) and exits along the miss chain in O(depth) steps —
   wavefront compaction comes free with alive-first lane ordering.
@@ -88,13 +91,13 @@ class PacketBVH:
     near-child-first preorder of the same tree.  ``nodes_i`` rows are
     [first_leaf, miss]; ``first_leaf`` is the octant-local LEAF index
     (-1 for interior).  ``leaves`` columns hold one leaf each in octant
-    visit order: rows j*12 + c are triangle j's Baldwin-Weber constants
-    [n.xyz, n.v0, U.xyz, -U.v0, V.xyz, -V.v0]; padded slots are degenerate
-    (zero normal -> no hit).  ``tri_id[o, leaf*K + j]`` maps back to scene triangle ids
+    visit order: rows j*9 + c are triangle j's Möller–Trumbore constants
+    [v0.xyz, e1.xyz, e2.xyz]; padded slots are degenerate (zero edges ->
+    no hit).  ``tri_id[o, leaf*K + j]`` maps back to scene triangle ids
     (-1 padding).  All padded to chunk multiples.
     """
 
-    leaves: jax.Array  # (8, 12*leaf_size, Nleaf_pad) f32
+    leaves: jax.Array  # (8, 9*leaf_size, Nleaf_pad) f32
     tri_id: jax.Array  # (8, Nt_slots) i32
     nodes_f: jax.Array  # (8, 6, Nc, 128) f32: bmin.xyz, bmax.xyz
     nodes_i: jax.Array  # (8, 2, Nc, 128) i32: first_leaf, miss
@@ -127,29 +130,11 @@ def build_packet_bvh(bvh) -> PacketBVH:
     n = first.shape[0]
     size = miss - np.arange(n)
     first_leaf = np.where(first >= 0, first // k, -1)
-    # Baldwin-Weber constants, 12 per triangle: the unrolled leaf test is
-    # then ~41 vector ops/tri vs ~57 for Möller-Trumbore (t from one plane
-    # dot, u/v from two affine projections) — leaves are ~85% of bounce
-    # tile time, so op count here is the whole leaf budget.
-    tv0 = np.asarray(bvh.tri_v0, np.float64)
-    te1 = np.asarray(bvh.tri_e1, np.float64)
-    te2 = np.asarray(bvh.tri_e2, np.float64)
-    tn = np.cross(te1, te2)
-    nn = np.einsum("ij,ij->i", tn, tn)
-    inv_nn = np.where(nn > 0, 1.0 / np.maximum(nn, 1e-300), 0.0)[:, None]
-    tu = np.cross(te2, tn) * inv_nn
-    tv = np.cross(tn, te1) * inv_nn
-    tri12 = np.concatenate(
-        [
-            tn,
-            np.einsum("ij,ij->i", tn, tv0)[:, None],
-            tu,
-            -np.einsum("ij,ij->i", tu, tv0)[:, None],
-            tv,
-            -np.einsum("ij,ij->i", tv, tv0)[:, None],
-        ],
+    # (Nleaf, 9k) leaf-major triangle constants, original leaf order
+    tri9 = np.concatenate(
+        [np.asarray(bvh.tri_v0), np.asarray(bvh.tri_e1), np.asarray(bvh.tri_e2)],
         axis=1,
-    ).astype(np.float32).reshape(-1, k * 12)
+    ).reshape(-1, k * 9)
 
     perms = octant_permutations(amin, amax, first, miss)
 
@@ -182,7 +167,7 @@ def build_packet_bvh(bvh) -> PacketBVH:
             .astype(np.int32)
             .reshape(2, -1, 128)
         )
-        lv.append(_pad_np(tri12[leaf_perm].T.astype(np.float32), LEAF_CHUNK))
+        lv.append(_pad_np(tri9[leaf_perm].T.astype(np.float32), LEAF_CHUNK))
         tid.append(tri_id.reshape(-1, k)[leaf_perm].reshape(-1).astype(np.int32))
 
     return PacketBVH(
@@ -409,28 +394,31 @@ def _kernel(
             tb_v = tb_ref[:]
             sb_v = sb_ref[:]
             for j in range(leaf_size):
-                nx = lf_s[12 * j + 0, loff]
-                ny = lf_s[12 * j + 1, loff]
-                nz = lf_s[12 * j + 2, loff]
-                d0 = lf_s[12 * j + 3, loff]
-                ux = lf_s[12 * j + 4, loff]
-                uy = lf_s[12 * j + 5, loff]
-                uz = lf_s[12 * j + 6, loff]
-                u0 = lf_s[12 * j + 7, loff]
-                vx = lf_s[12 * j + 8, loff]
-                vy = lf_s[12 * j + 9, loff]
-                vz = lf_s[12 * j + 10, loff]
-                v0c = lf_s[12 * j + 11, loff]
+                v0x = lf_s[9 * j + 0, loff]
+                v0y = lf_s[9 * j + 1, loff]
+                v0z = lf_s[9 * j + 2, loff]
+                e1x = lf_s[9 * j + 3, loff]
+                e1y = lf_s[9 * j + 4, loff]
+                e1z = lf_s[9 * j + 5, loff]
+                e2x = lf_s[9 * j + 6, loff]
+                e2y = lf_s[9 * j + 7, loff]
+                e2z = lf_s[9 * j + 8, loff]
 
-                nd = nx * d_x + ny * d_y + nz * d_z
-                no = nx * o_x + ny * o_y + nz * o_z
-                near0 = jnp.abs(nd) < 1e-12
-                tt = (d0 - no) / jnp.where(near0, 1.0, nd)
-                px = o_x + tt * d_x
-                py = o_y + tt * d_y
-                pz = o_z + tt * d_z
-                u = ux * px + uy * py + uz * pz + u0
-                v = vx * px + vy * py + vz * pz + v0c
+                px = d_y * e2z - d_z * e2y
+                py = d_z * e2x - d_x * e2z
+                pz = d_x * e2y - d_y * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                near0 = jnp.abs(det) < 1e-12
+                inv = 1.0 / jnp.where(near0, 1.0, det)
+                tx = o_x - v0x
+                ty = o_y - v0y
+                tz = o_z - v0z
+                u = (tx * px + ty * py + tz * pz) * inv
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (d_x * qx + d_y * qy + d_z * qz) * inv
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
                 hit = (
                     ~near0
                     & (u >= 0.0)
@@ -515,7 +503,7 @@ def _packet_sweep(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((_CROWS, _TILE_L), jnp.int32),  # code_s
-            pltpu.SMEM((12 * leaf_size, LEAF_CHUNK), jnp.float32),
+            pltpu.SMEM((9 * leaf_size, LEAF_CHUNK), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((4,), jnp.int32),  # cnt_s (stats)
