@@ -504,9 +504,12 @@ def _offset_origin(hit: HitInfo, light_dir: V3) -> V3:
 
 
 def _sample_analytic(tables, hit, seed, mask):
-    """50/50 point-vs-directional pick + shadow ray (lightsample.glsl:14-52).
+    """50/50 point-vs-directional pick (lightsample.glsl:14-52), shadow ray
+    deferred: the caller merges it with the emissive branch's into ONE
+    traversal launch (the branch picks are random per lane, so separate
+    launches each walk every packet tile at half occupancy).
 
-    Returns (radiance V3, light_dir V3, pdf, seed, rays).
+    Returns (radiance V3, light_dir V3, pdf, t_max, seed).
     """
     np_, nd = tables.num_point, tables.num_directional
     p_factor = 1.0 / ((np_ > 0) + (nd > 0))
@@ -555,20 +558,16 @@ def _sample_analytic(tables, hit, seed, mask):
     radiance = rad_p.where(pick_point, rad_d)
     pdf = jnp.where(pick_point, pdf_p, pdf_d)
     t_max = jnp.where(pick_point, dist, INF)
-
-    ray_o = _offset_origin(hit, light_dir)
-    occluded, seed = _shadow(
-        tables, ray_o, light_dir, t_max=t_max, active=mask, seed=seed
-    )
-    radiance = radiance.where(~occluded & mask, V3(0.0, 0.0, 0.0))
-    return radiance, light_dir, pdf, seed, jnp.sum(mask, dtype=jnp.int32)
+    return radiance, light_dir, pdf, t_max, seed
 
 
 def _sample_emissive(tables, hit, seed, mask):
-    """Emissive-triangle NEE (lightsample.glsl:54-141): CDF search, uniform
-    point on the triangle, closest-hit verification, pdf probe.
+    """Emissive-triangle NEE sampling (lightsample.glsl:54-141): CDF
+    search, uniform point on the triangle, emissive-texture radiance.
+    Verification trace and pdf probe are deferred to the caller (merged
+    with the analytic branch's shadow into one launch).
 
-    Returns (radiance V3, light_dir V3, pdf, seed, rays).
+    Returns (radiance V3, light_dir V3, t_max, seed).
     """
     u_cdf, seed_c = rng.rnd(seed)
     seed = jnp.where(mask, seed_c, seed)
@@ -593,25 +592,17 @@ def _sample_emissive(tables, hit, seed, mask):
     ray = point - hit.pos
     dist = jnp.sqrt(jnp.maximum(ray.length_sq(), 1e-30))
     light_dir = ray / dist
-    ray_o = _offset_origin(hit, light_dir)
 
-    # Verification ray.  The reference traces a closest-hit ray and checks
-    # the hit identity (emissive.rchit:47, tMax = dist + EPS,
+    # Verification ray t_max.  The reference traces a closest-hit ray and
+    # checks the hit identity (emissive.rchit:47, tMax = dist + EPS,
     # lightsample.glsl:131); "the closest hit is the sampled triangle" is
     # equivalent to "no accepted hit strictly closer than the sampled
     # point", which the terminate-on-first-hit occlusion kernel answers in
     # a fraction of the work (the sampled point lies ON the triangle, so
-    # the triangle itself always hits at ~dist).  The epsilon below plays
-    # the role of the reference's identity check at t-ties.
-    occluded, seed = _shadow(
-        tables,
-        ray_o,
-        light_dir,
-        t_max=dist * jnp.float32(1.0 - 1e-4) - jnp.float32(1e-5),
-        active=mask,
-        seed=seed,
-    )
-    identity = mask & ~occluded
+    # the triangle itself always hits at ~dist).  The epsilon plays the
+    # role of the reference's identity check at t-ties.  The trace itself
+    # happens in sample_lights, merged with the analytic shadow ray.
+    t_max = dist * jnp.float32(1.0 - 1e-4) - jnp.float32(1e-5)
 
     mat_i = jnp.take(tables.tri_mat, jnp.maximum(scene_tri, 0), axis=0)
     radiance = v3_gather(tables.materials.emissive_v, mat_i)
@@ -634,14 +625,7 @@ def _sample_emissive(tables, hit, seed, mask):
         radiance = (radiance * V3(te[:, 0], te[:, 1], te[:, 2])).where(
             tex_e >= 0, radiance
         )
-    visible = identity & radiance.any_nonzero()
-
-    # pdf probe over all emissive surfaces along the ray (lightsample.glsl:136)
-    pdf = _emissive_pdf(tables, ray_o, light_dir, t_min=0.0, active=visible)
-
-    radiance = radiance.where(visible, V3(0.0, 0.0, 0.0))
-    rays = jnp.sum(mask, dtype=jnp.int32) + jnp.sum(visible, dtype=jnp.int32)
-    return radiance, light_dir, pdf, seed, rays
+    return radiance, light_dir, t_max, seed
 
 
 def sample_lights(tables, hit, wavelength, view_world: V3, seed, mask):
@@ -668,24 +652,44 @@ def sample_lights(tables, hit, wavelength, view_world: V3, seed, mask):
     radiance = V3.splat((0.0, 0.0, 0.0), (n,))
     light_dir = V3.splat((0.0, 0.0, 0.0), (n,))
     pdf = jnp.zeros((n,), _F32)
+    t_max = jnp.full((n,), INF, _F32)
     delta = pick_analytic
 
     if has_analytic:
-        rad_a, dir_a, pdf_a, seed, r_a = _sample_analytic(
+        rad_a, dir_a, pdf_a, tmax_a, seed = _sample_analytic(
             tables, hit, seed, mask & pick_analytic
         )
         radiance = rad_a.where(pick_analytic, radiance)
         light_dir = dir_a.where(pick_analytic, light_dir)
         pdf = jnp.where(pick_analytic, pdf_a, pdf)
-        rays = rays + r_a
+        t_max = jnp.where(pick_analytic, tmax_a, t_max)
+        rays = rays + jnp.sum(mask & pick_analytic, dtype=jnp.int32)
     if has_emissive:
-        rad_e, dir_e, pdf_e, seed, r_e = _sample_emissive(
+        rad_e, dir_e, tmax_e, seed = _sample_emissive(
             tables, hit, seed, mask & ~pick_analytic
         )
         radiance = radiance.where(pick_analytic, rad_e)
         light_dir = light_dir.where(pick_analytic, dir_e)
+        t_max = jnp.where(pick_analytic, t_max, tmax_e)
+        rays = rays + jnp.sum(mask & ~pick_analytic, dtype=jnp.int32)
+
+    # ONE merged occlusion launch for both branches (the analytic shadow
+    # ray, lightsample.glsl:45, and the emissive verification ray, :131):
+    # branch picks are random per lane, so two masked launches would each
+    # walk every packet tile at half occupancy for twice the fixed cost.
+    ray_o = _offset_origin(hit, light_dir)
+    occluded, seed = _shadow(
+        tables, ray_o, light_dir, t_max=t_max, active=mask, seed=seed
+    )
+    radiance = radiance.where(~occluded & mask, V3(0.0, 0.0, 0.0))
+    if has_emissive:
+        # pdf probe over all emissive surfaces along the verified ray
+        # (lightsample.glsl:136); only surviving emissive-branch lanes
+        visible = mask & ~pick_analytic & ~occluded & radiance.any_nonzero()
+        pdf_e = _emissive_pdf(tables, ray_o, light_dir, t_min=0.0, active=visible)
         pdf = jnp.where(pick_analytic, pdf, pdf_e)
-        rays = rays + r_e
+        radiance = radiance.where(pick_analytic | visible, V3(0.0, 0.0, 0.0))
+        rays = rays + jnp.sum(visible, dtype=jnp.int32)
 
     got_light = radiance.any_nonzero() & mask
     pdf = pdf / _F32(max(1, int(has_analytic) + int(has_emissive)))  # :161
