@@ -41,7 +41,11 @@ Why this maps well onto a TPU core:
   leaf form (12 precomputed constants, ~30% fewer vector ops) measured
   SLOWER everywhere (swizzled 5.90 -> 5.58, bounce 0.39 -> 0.35 Mrays/s)
   because 12 SMEM broadcasts per triangle beat 9 + the vector savings —
-  the 9-constant MT budget is a measured floor.
+  the 9-constant MT budget is a measured floor.  Double-buffered
+  node-chunk prefetch (2-slot VMEM, next chunk's DMA issued behind the
+  walk) measured NEUTRAL on every workload (swizzled 5.91 vs 5.90,
+  bounce 0.38 vs 0.39) — chunk DMA latency is already off the critical
+  path, so the kernel keeps the simple single-buffer refill.
 * A tile whose rays all died (t bound -1) fails the beam test everywhere
   (t_near >= 0 > tmax) and exits along the miss chain in O(depth) steps —
   wavefront compaction comes free with alive-first lane ordering.
