@@ -139,13 +139,13 @@ def main():
     ab = np.abs(bd)
     dom = np.argmax(ab, axis=-1).astype(np.uint32)
     mj = np.take_along_axis(ab, dom[:, None], axis=-1)[:, 0]
-    keys = {}
     # minor-axis ratios in [0,1) quantised to 2 bits each
     others = np.stack(
         [ab[np.arange(n), (dom + 1) % 3], ab[np.arange(n), (dom + 2) % 3]], -1
     ) / np.maximum(mj, 1e-20)[:, None]
     q = np.clip((others * 4), 0, 3).astype(np.uint32)
     dirfine = (dom << 4) | (q[:, 0] << 2) | q[:, 1]  # 6 bits
+    keys = {}
 
     keys["oct|morton18 (current)"] = (octant << 27) | (morton(cell, 6) << 9)
     keys["oct|morton18|dir6"] = (
