@@ -45,7 +45,13 @@ Why this maps well onto a TPU core:
   node-chunk prefetch (2-slot VMEM, next chunk's DMA issued behind the
   walk) measured NEUTRAL on every workload (swizzled 5.91 vs 5.90,
   bounce 0.38 vs 0.39) — chunk DMA latency is already off the critical
-  path, so the kernel keeps the simple single-buffer refill.
+  path, so the kernel keeps the simple single-buffer refill.  2-way
+  tile interleaving (two independent walks per program, hoping the
+  compiler overlaps their scalar/broadcast chains) also measured
+  SLIGHTLY WORSE (swizzled 5.63 vs 5.90, bounce 0.37 vs 0.39) — Mosaic
+  schedules the predicated blocks in order, so the second tile only adds
+  state pressure.  This kernel is at its architecture's local optimum;
+  remaining cost is intrinsic (vector MT issue rate x visit counts).
 * A tile whose rays all died (t bound -1) fails the beam test everywhere
   (t_near >= 0 > tmax) and exits along the miss chain in O(depth) steps —
   wavefront compaction comes free with alive-first lane ordering.
