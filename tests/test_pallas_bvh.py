@@ -59,8 +59,8 @@ def test_packet_closest_matches_dense_soup(interpret):
     """Soup big enough for multiple node and triangle chunks + 2 ray tiles."""
     from vulkan_raytracer_tpu.ops.pallas_bvh import packet_closest
 
-    t = triangle_soup_scene(n_tris=3000, seed=3).upload()
-    assert t.bvh.num_nodes > 512  # crosses node-chunk boundaries
+    t = triangle_soup_scene(n_tris=9000, seed=3).upload()
+    assert t.bvh.num_nodes > 1024  # crosses node-chunk boundaries
     rng = np.random.default_rng(1)
     n = 2048
     ov, dv = _rays(rng, n, spread=1.5, ylift=0.0)

@@ -331,6 +331,12 @@ def _kernel(
         # ---- chunk entry: DMA fields, vector-cull, encode decisions -----
         @pl.when(cur >= base_s[0] + NODE_CHUNK)
         def _():
+            # refresh the beam's scalar t bound here, ONCE per chunk: the
+            # vector->scalar max reduce costs ~600 cycles, which used to
+            # run after EVERY leaf visit and dominated the leaf budget —
+            # per-chunk refresh is conservative (stale = looser test =
+            # extra visits, never misses) and measured strictly faster
+            tmax_s[0] = jnp.max(tb_ref[:])
             nb = pl.multiple_of((cur // NODE_CHUNK) * NODE_CHUNK, NODE_CHUNK)
             rb = pl.multiple_of(nb // _TILE_L, _CROWS)
             cpf = pltpu.make_async_copy(
@@ -450,9 +456,6 @@ def _kernel(
 
             tb_ref[:] = tb_v
             sb_ref[:] = sb_v
-            # tighten the beam bound (shadow: occluded lanes fell to -1,
-            # shrinking it toward the all-dead early exit)
-            tmax_s[0] = jnp.max(tb_v)
 
         # a leaf's skip pointer is always cur + 1: its preorder subtree is
         # itself, so miss = index + size = cur + 1 — no miss table needed

@@ -588,7 +588,7 @@ class Scene:
             pbvh=_pack(bvh),
         )
 
-    def upload(self, leaf_size: int = 8) -> SceneTables:
+    def upload(self, leaf_size: int = 16) -> SceneTables:
         """Flatten instances to world space and build all device tables.
 
         The analogue of Scene::uploadResources (scene.cpp:281-342) plus the
