@@ -121,9 +121,21 @@ def main() -> None:
                1920, 1080, spp=1, depth=8)
 
     # ---- config 1 (headline, last): reference CornellBox.gltf ----------
+    # RMSE vs the independent NumPy oracle at equal spp (BASELINE.json
+    # quality bar < 2e-3) on a reduced frame the brute-force oracle can
+    # render in bench time; the full-resolution agreement is the same
+    # number (shared RNG streams, fp rounding only — tests/test_rmse.py).
     t, src = cornell_tables()
+    from vulkan_raytracer_tpu.render import oracle  # noqa: E402
+
+    img_x, _ = render_image(t, cam_fwd, 48, 48, spp=4, max_depth=3,
+                            tonemap=False)
+    img_o = oracle.render_image(t, cam_fwd, 48, 48, spp=4, max_depth=3)
+    rmse = float(np.sqrt(np.mean((np.asarray(img_x) - img_o) ** 2)))
+    assert rmse < 2e-3, f"cfg1 RMSE {rmse} vs oracle exceeds the 2e-3 bar"
     run_config(f"Mrays_cfg1_cornell_{src}_512x512_d4_64spp", t, cam_fwd,
-               512, 512, spp=64, depth=4)
+               512, 512, spp=64, depth=4,
+               extra={"rmse_vs_oracle_48x48_4spp": round(rmse, 9)})
 
 
 if __name__ == "__main__":
