@@ -5,9 +5,9 @@ camera-style rays and (b) incoherent random rays.  Run directly:
 ``python tools/bench_packet.py [n_tris] [res]``.
 """
 
+import dataclasses
 import sys
 import time
-import types
 
 import numpy as np
 import jax
@@ -15,9 +15,24 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-from vulkan_raytracer_tpu.accel.bvh import build_bvh
+from vulkan_raytracer_tpu.accel.bvh import ThreadedBVH, build_bvh
 from vulkan_raytracer_tpu.ops.math3 import V3
-from vulkan_raytracer_tpu.ops.pallas_bvh import build_packet_bvh, packet_closest
+from vulkan_raytracer_tpu.ops.pallas_bvh import PacketBVH, build_packet_bvh, packet_closest
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BenchTables:
+    """Minimal pytree standing in for SceneTables: as a jit ARGUMENT the
+    scene arrays are runtime parameters, not embedded constants — closing
+    over them instead overflows the axon remote-compile request at
+    ~1M-triangle scale (HTTP 413)."""
+
+    bvh: ThreadedBVH
+    pbvh: PacketBVH
+    v0: V3
+    v1: V3
+    v2: V3
 
 
 def make_soup(n_tris, seed=0, extent=10.0, size=0.15):
@@ -60,7 +75,7 @@ def time_trace(tables, o, d, label):
     act = jnp.ones((o.shape[0],), bool)
 
     @jax.jit
-    def run(ov, dv):
+    def run(tables, ov, dv):
         # perturb origins per rep so XLA cannot hoist the trace out
         def step(acc, k):
             o2 = V3(ov.x + 1e-6 * k.astype(jnp.float32), ov.y, ov.z)
@@ -73,13 +88,13 @@ def time_trace(tables, o, d, label):
         return acc, tri[-1]
 
     t0 = time.perf_counter()
-    acc, tri = run(ov, dv)
+    acc, tri = run(tables, ov, dv)
     acc = np.asarray(acc)
     t_compile = time.perf_counter() - t0
     times = []
     for _ in range(4):
         t0 = time.perf_counter()
-        np.asarray(run(ov, dv)[0])
+        np.asarray(run(tables, ov, dv)[0])
         times.append(time.perf_counter() - t0)
     floor = 0.033  # measured axon fetch floor
     best = max(min(times) - floor, 1e-9) / REPS
@@ -102,7 +117,7 @@ def main():
     bvh = build_bvh(v0, v1, v2)
     print(f"BVH: {bvh.num_nodes} nodes in {time.perf_counter()-t0:.2f}s")
     pb = build_packet_bvh(bvh)
-    tables = types.SimpleNamespace(
+    tables = BenchTables(
         bvh=bvh,
         pbvh=pb,
         v0=V3(*(jnp.asarray(v0[:, k]) for k in range(3))),
