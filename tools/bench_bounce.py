@@ -53,12 +53,14 @@ def _time_sorted(tables, o, d, perm, label):
     tot = st.sum(axis=0)
     t_cnt = st.shape[0]
 
-    f = jax.jit(lambda a, b: _trace(tables, a, b)[0].sum())
-    f(og, dg).block_until_ready()
+    # tables as a jit ARG (a closure would embed the scene as program
+    # constants and overflow the axon remote-compile request at scale)
+    f = jax.jit(lambda t, a, b: _trace(t, a, b)[0].sum())
+    f(tables, og, dg).block_until_ready()
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        f(og, dg).block_until_ready()
+        f(tables, og, dg).block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     n = o.x.shape[0]
     print(
