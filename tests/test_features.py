@@ -245,3 +245,51 @@ def test_resume_rejects_mismatched_shape(tmp_path):
     with _pytest.raises(SystemExit):
         cli.main(["-m", "cornell", "-r", "16,16", "-b", "2", "--spp", "1",
                   "--resume", ck, "--output", str(tmp_path / "b.png")])
+
+
+def test_resume_rejects_mismatched_camera_and_settings(tmp_path):
+    """Fingerprint check: same shape/depth but a moved camera or a
+    different NEE estimator must refuse to blend accumulations."""
+    import pytest as _pytest
+
+    from vulkan_raytracer_tpu import cli
+
+    ck = str(tmp_path / "state.npz")
+    cli.main(["-m", "cornell", "-r", "20,16", "-b", "2", "--spp", "1",
+              "-c", "0,1,2.4", "--checkpoint", ck,
+              "--output", str(tmp_path / "a.png")])
+    with _pytest.raises(SystemExit):
+        cli.main(["-m", "cornell", "-r", "20,16", "-b", "2", "--spp", "1",
+                  "-c", "0,1,2.0", "--resume", ck,
+                  "--output", str(tmp_path / "b.png")])
+    with _pytest.raises(SystemExit):
+        cli.main(["-m", "cornell", "-r", "20,16", "-b", "2", "--spp", "1",
+                  "-c", "0,1,2.4", "--nee-weighting", "physical",
+                  "--resume", ck, "--output", str(tmp_path / "c.png")])
+    with _pytest.raises(SystemExit):
+        cli.main(["-m", "glass", "-r", "20,16", "-b", "2", "--spp", "1",
+                  "-c", "0,1,2.4", "--resume", ck,
+                  "--output", str(tmp_path / "d.png")])
+
+
+def test_hdr_output_shares_the_png_accumulation(tmp_path):
+    """--hdr-output must come from the SAME accumulation as the PNG
+    (one render per invocation), honouring --resume: hdr == acc/total."""
+    import numpy as np
+
+    from vulkan_raytracer_tpu import cli
+    from vulkan_raytracer_tpu.utils.image import read_hdr
+
+    common = ["-m", "cornell", "-r", "20,16", "-b", "2", "-c", "0,1,2.4"]
+    ck = str(tmp_path / "state.npz")
+    cli.main(common + ["--spp", "2", "--checkpoint", ck,
+                       "--output", str(tmp_path / "a.png")])
+    cli.main(common + ["--spp", "2", "--resume", ck,
+                       "--checkpoint", ck,
+                       "--output", str(tmp_path / "b.png"),
+                       "--hdr-output", str(tmp_path / "b.hdr")])
+    hdr = read_hdr(tmp_path / "b.hdr")
+    acc = np.load(ck)
+    mean = acc["acc"] / np.float32(int(acc["next_sample"]) - 1)
+    # Radiance shared-exponent encoding quantises to ~1% relative
+    assert np.allclose(hdr, mean.reshape(hdr.shape), rtol=0.02, atol=1e-3)

@@ -40,6 +40,34 @@ def test_pallas_closest_matches_dense(interpret):
     np.testing.assert_allclose(np.asarray(up)[m], np.asarray(ud)[m], atol=1e-5)
 
 
+def test_pallas_shadow_matches_dense(interpret):
+    """Any-hit occlusion kernel vs the XLA fold, incl. dead lanes and
+    per-lane t_max edge cases (t_max below/straddling/above the hit)."""
+    from vulkan_raytracer_tpu.ops.dense import dense_shadow
+    from vulkan_raytracer_tpu.ops.pallas_dense import pallas_shadow
+
+    t = cornell_box_scene().upload()
+    r = np.random.default_rng(8)
+    n = 1024
+    o = r.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    o[:, 1] += 1.0
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = V3(jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]))
+    dv = V3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]))
+    act = jnp.asarray(np.arange(n) % 4 != 0)
+    # t_max spanning 0.05 (mostly unoccluded) to 5 (mostly occluded)
+    t_max = jnp.asarray(r.uniform(0.05, 5.0, n).astype(np.float32))
+    occ_p = pallas_shadow(t, ov, dv, t_max=t_max, active=act)
+    occ_d = dense_shadow(t, ov, dv, t_max=t_max, active=act)
+    np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_d))
+    assert not np.any(np.asarray(occ_p)[~np.asarray(act)])
+    # scalar t_max too (the NEE merged-occlusion launch shape)
+    occ_p2 = pallas_shadow(t, ov, dv, t_max=2.5, active=act)
+    occ_d2 = dense_shadow(t, ov, dv, t_max=2.5, active=act)
+    np.testing.assert_array_equal(np.asarray(occ_p2), np.asarray(occ_d2))
+
+
 def test_pallas_emissive_pdf_matches_dense(interpret):
     from vulkan_raytracer_tpu.ops.dense import dense_emissive_pdf
     from vulkan_raytracer_tpu.ops.pallas_dense import (

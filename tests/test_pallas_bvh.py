@@ -55,8 +55,13 @@ def test_packet_closest_matches_dense_cornell(interpret):
     )
 
 
-def test_packet_closest_matches_dense_soup(interpret):
-    """Soup big enough for multiple node and triangle chunks + 2 ray tiles."""
+def test_packet_closest_matches_dense_soup(interpret, monkeypatch):
+    """Soup big enough for multiple node and triangle chunks + 2 ray tiles.
+
+    Pinned to the single-sweep walk (VKRT_NO_BINNED) — this test covers
+    chunk streaming; the binned pair machinery has its own (smaller)
+    test below, sized for the interpreter."""
+    monkeypatch.setenv("VKRT_NO_BINNED", "1")
     from vulkan_raytracer_tpu.ops.pallas_bvh import packet_closest
 
     t = triangle_soup_scene(n_tris=9000, seed=3).upload()
@@ -126,6 +131,78 @@ def test_packet_dead_lanes_cheap_and_correct(interpret):
     tp, trip, _, _ = packet_closest(t, ov, dv, t_min=1e-7, t_max=1e32, active=act)
     assert np.all(np.asarray(trip) == -1)
     assert np.all(np.isinf(np.asarray(tp)))
+
+
+def test_binned_treelet_walk_matches_dense(interpret, monkeypatch):
+    """Forced tiny treelets: the multi-pass binned walk equals dense.
+
+    Exercises many passes per ray (done-bit cursors, waiting lanes,
+    per-pass beam restriction) including per-lane t_min as used by the
+    integrator's alpha resample loop.
+    """
+    monkeypatch.setenv("VKRT_TREELET_TRIS", "128")
+    from vulkan_raytracer_tpu.ops import pallas_bvh as pk
+
+    t = triangle_soup_scene(n_tris=600, seed=9).upload()
+    assert t.pbvh.n_treelets > 4
+    rng = np.random.default_rng(4)
+    n = 512
+    ov, dv = _rays(rng, n, spread=1.2, ylift=0.0)
+    act = jnp.asarray(np.arange(n) % 3 != 0)
+    t_lo = jnp.asarray(rng.uniform(0.0, 0.5, n).astype(np.float32))
+    tp, trip, up, vp = pk.packet_closest(
+        t, ov, dv, t_min=t_lo, t_max=1e32, active=act
+    )
+    td, trid, ud, vd = dense_closest(
+        t, ov, dv, t_min=t_lo, t_max=1e32, active=act
+    )
+    trip_n, trid_n = np.asarray(trip), np.asarray(trid)
+    np.testing.assert_array_equal(trip_n >= 0, trid_n >= 0)
+    m = trip_n >= 0
+    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-5)
+    same = trip_n == trid_n
+    assert same[m].mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(up)[m & same], np.asarray(ud)[m & same], atol=1e-5
+    )
+
+    # shadow with per-lane t_max through the same binned machinery
+    t_max = jnp.asarray(rng.uniform(0.1, 4.0, n).astype(np.float32))
+    occ_p = pk.packet_shadow(t, ov, dv, t_max=t_max, active=act)
+    occ_d = dense_shadow(t, ov, dv, t_max=t_max, active=act)
+    np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_d))
+
+    # all-dead wave exits without finding anything
+    none = jnp.zeros(n, bool)
+    tp0, trip0, _, _ = pk.packet_closest(
+        t, ov, dv, t_min=0.0, t_max=1e32, active=none
+    )
+    assert np.all(np.asarray(trip0) == -1)
+    assert np.all(np.isinf(np.asarray(tp0)))
+
+
+def test_treelet_cut_partitions_leaves():
+    """The treelet frontier covers every leaf exactly once."""
+    from vulkan_raytracer_tpu.accel.bvh import build_bvh, treelet_cut
+
+    rng = np.random.default_rng(13)
+    v0 = rng.uniform(-5, 5, (3000, 3)).astype(np.float32)
+    v1 = v0 + rng.normal(0, 0.2, (3000, 3)).astype(np.float32)
+    v2 = v0 + rng.normal(0, 0.2, (3000, 3)).astype(np.float32)
+    bvh = build_bvh(v0, v1, v2)
+    first = np.asarray(bvh.first_tri)
+    miss = np.asarray(bvh.miss)
+    cut = treelet_cut(first, miss, bvh.leaf_size, 256)
+    assert len(cut) > 1
+    covered = np.zeros(bvh.num_nodes, np.int32)
+    for i in cut:
+        assert (np.asarray(bvh.first_tri[i]) >= 0) or (
+            (np.count_nonzero(first[i:miss[i]] >= 0) * bvh.leaf_size) <= 256
+        )
+        covered[i:miss[i]] += 1
+    # every leaf node inside exactly one treelet range
+    leaves = first >= 0
+    np.testing.assert_array_equal(covered[leaves], 1)
 
 
 def test_octant_permutations_structure():

@@ -11,6 +11,7 @@ the 512x512 pixel wave by batching that many samples per wave (the
 sample-batched-waves design question: coherence vs wave size).
 """
 
+import os
 import sys
 import time
 import types
@@ -37,25 +38,45 @@ def _trace(tables, o, d, stats=False):
     bounds, octs = pk._tile_beam_bounds(rays, t_init)
     out = pk._packet_sweep(
         (tables.pbvh.nodes_f, tables.pbvh.nodes_i, tables.pbvh.leaves),
-        bounds, octs, rays, t_lo, t_init,
-        int(tables.pbvh.num_nodes), int(tables.pbvh.leaf_size), False,
+        bounds, octs, pk._full_lims(tables.pbvh, bounds.shape[0]),
+        rays, t_lo, t_init,
+        int(tables.pbvh.leaf_size), False,
         stats=stats,
     )
     return out
 
 
-def _time_sorted(tables, o, d, perm, label):
+def _time_sorted(tables, o, d, perm, label, binned=False):
     og = V3(*(jnp.take(c, perm) for c in (o.x, o.y, o.z)))
     dg = V3(*(jnp.take(c, perm) for c in (d.x, d.y, d.z)))
-    # stats pass
-    _, _, st = _trace(tables, og, dg, stats=True)
-    st = np.asarray(st).reshape(-1, 8, 128)[:, :4, 0]
-    tot = st.sum(axis=0)
-    t_cnt = st.shape[0]
-
-    # tables as a jit ARG (a closure would embed the scene as program
-    # constants and overflow the axon remote-compile request at scale)
-    f = jax.jit(lambda t, a, b: _trace(t, a, b)[0].sum())
+    if binned:
+        n = o.x.shape[0]
+        act = jnp.ones((n,), bool)
+        if os.environ.get("VKRT_BINNED_EAGER"):
+            # per-round telemetry prints from inside _binned_sweep
+            t0 = time.perf_counter()
+            pk.packet_closest(tables, og, dg, t_min=1e-4, t_max=1e32,
+                              active=act)[0].block_until_ready()
+            print(f"{label}: eager total {1e3*(time.perf_counter()-t0):.1f} ms")
+            return
+        f = jax.jit(
+            lambda t, a, b: pk.packet_closest(
+                t, a, b, t_min=1e-4, t_max=1e32, active=act
+            )[0].sum()
+        )
+        stat_line = ""
+    else:
+        # stats pass
+        _, _, st = _trace(tables, og, dg, stats=True)
+        st = np.asarray(st).reshape(-1, 8, 128)[:, :4, 0]
+        tot = st.sum(axis=0)
+        t_cnt = st.shape[0]
+        stat_line = (
+            f" | visits/tile={tot[0]/t_cnt:7.0f} leafs/tile={tot[1]/t_cnt:6.0f}"
+        )
+        # tables as a jit ARG (a closure would embed the scene as program
+        # constants and overflow the axon remote-compile request at scale)
+        f = jax.jit(lambda t, a, b: _trace(t, a, b)[0].sum())
     f(tables, og, dg).block_until_ready()
     reps = 3
     t0 = time.perf_counter()
@@ -64,8 +85,7 @@ def _time_sorted(tables, o, d, perm, label):
     dt = (time.perf_counter() - t0) / reps
     n = o.x.shape[0]
     print(
-        f"{label}: {dt*1e3:8.2f} ms -> {n/dt/1e6:6.2f} Mrays/s | "
-        f"visits/tile={tot[0]/t_cnt:7.0f} leafs/tile={tot[1]/t_cnt:6.0f}"
+        f"{label}: {dt*1e3:8.2f} ms -> {n/dt/1e6:6.2f} Mrays/s{stat_line}"
     )
 
 
@@ -157,9 +177,19 @@ def main():
         (octant << 27) | (morton(cell, 4) << 15) | (dirfine << 9)
     )
 
-    for label, key in keys.items():
-        perm = jnp.asarray(np.argsort(key, kind="stable").astype(np.int32))
-        _time_sorted(t, ob, db, perm, f"{label:28s}")
+    only = os.environ.get("VKRT_BENCH_ONLY", "")
+    if only != "binned":
+        for label, key in keys.items():
+            perm = jnp.asarray(np.argsort(key, kind="stable").astype(np.int32))
+            _time_sorted(t, ob, db, perm, f"{label:28s}")
+
+    if only != "sweep":
+        # treelet-binned multi-pass walk (the round-3 structural change)
+        perm = jnp.asarray(
+            np.argsort(keys["oct|morton18 (current)"], kind="stable").astype(np.int32)
+        )
+        print(f"treelets: {t.pbvh.n_treelets}", flush=True)
+        _time_sorted(t, ob, db, perm, f"{'binned treelet walk':28s}", binned=True)
 
 
 if __name__ == "__main__":

@@ -34,10 +34,10 @@ def stats_trace(tables, o, d, label):
         (pb.nodes_f, pb.nodes_i, pb.leaves),
         bounds,
         octs,
+        pk._full_lims(pb, bounds.shape[0]),
         rays,
         t_lo,
         t_init,
-        int(pb.num_nodes),
         int(pb.leaf_size),
         False,
         stats=True,

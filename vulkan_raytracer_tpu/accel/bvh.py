@@ -214,6 +214,40 @@ def refit_bvh(bvh: ThreadedBVH, v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) 
     )
 
 
+def treelet_cut(first_tri, miss, leaf_size: int, max_tris: int) -> np.ndarray:
+    """Select a treelet frontier: maximal subtrees holding <= max_tris slots.
+
+    The cut partitions the leaf set: every leaf belongs to exactly one
+    treelet, and each treelet is a preorder-contiguous subtree
+    ``[i, miss[i])`` (contiguous in EVERY octant stream too, since child
+    swaps keep subtrees contiguous).  The binned traversal in
+    :mod:`vulkan_raytracer_tpu.ops.pallas_bvh` bins rays by the treelets
+    they *individually* enter — the structural fix for beam fatness: a
+    tile's walk of treelet ``t`` only carries the lanes that enter ``t``.
+
+    Returns the treelet root node ids (preorder-ascending).
+    """
+    first_tri = np.asarray(first_tri)
+    miss = np.asarray(miss)
+    n = first_tri.shape[0]
+    # leaf count of subtree [i, miss[i]) via prefix sum over leaf flags
+    pref = np.zeros(n + 1, np.int64)
+    np.cumsum(first_tri >= 0, out=pref[1:])
+    out: list[int] = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        tris = (pref[miss[i]] - pref[i]) * leaf_size
+        if tris <= max_tris or first_tri[i] >= 0:
+            out.append(i)
+        else:
+            # children of interior i are i+1 and miss[i+1]; push right first
+            # so the popped order stays preorder-ascending
+            stack.append(miss[i + 1])
+            stack.append(i + 1)
+    return np.asarray(sorted(out), np.int64)
+
+
 def octant_permutations(aabb_min, aabb_max, first_tri, miss) -> np.ndarray:
     """Preorder permutations of a threaded BVH for the 8 direction octants.
 

@@ -239,45 +239,63 @@ def main(argv=None) -> int:
     # checkpoint/resume: the accumulation buffer is the render's whole
     # state (raytracer.cpp:129-144); persisting the linear sum + sample
     # cursor lets long renders continue across runs — a headless capability
-    # the reference's swapchain-only sink cannot offer.
+    # the reference's swapchain-only sink cannot offer.  A fingerprint of
+    # (scene geometry, camera pose, resolution, depth, NEE estimator)
+    # travels in the npz so --resume refuses to blend incompatible
+    # accumulations instead of silently mixing them.
+    fingerprint = _render_fingerprint(
+        tables, camera, width, height, args.max_ray_depth, args.nee_weighting
+    )
     acc_prev = None
     start_sample = 1
     if args.resume:
         ck = np.load(args.resume)
         if tuple(ck["shape"]) != (height, width) or int(ck["depth"]) != args.max_ray_depth:
             raise SystemExit("--resume checkpoint does not match this render")
+        if "fingerprint" in ck and str(ck["fingerprint"]) != fingerprint:
+            raise SystemExit(
+                "--resume checkpoint was rendered with a different "
+                "scene/camera/settings (fingerprint mismatch)"
+            )
         acc_prev = ck["acc"].astype(np.float32)
         start_sample = int(ck["next_sample"])
         log.info("resuming at sample %d from %s", start_sample, args.resume)
+
+    from .ops.tonemap import reinhard_jodie
+    import jax.numpy as jnp
 
     t0 = time.perf_counter()
     if args.shard:
         from .parallel.sharding import make_mesh, render_image_sharded
 
-        img, rays = render_image_sharded(
-            tables, camera, width, height, args.spp, args.max_ray_depth, make_mesh()
+        mean_new, rays = render_image_sharded(
+            tables, camera, width, height, args.spp, args.max_ray_depth,
+            make_mesh(), start_sample=start_sample, tonemap=False,
+            nee_weighting=args.nee_weighting,
         )
     else:
         from .render.renderer import render_image
-        from .ops.tonemap import reinhard_jodie
-        import jax.numpy as jnp
 
         mean_new, rays = render_image(
             tables, camera, width, height, args.spp, args.max_ray_depth,
             start_sample=start_sample, tonemap=False,
             nee_weighting=args.nee_weighting,
         )
-        acc = mean_new * np.float32(args.spp)
-        if acc_prev is not None:
-            acc = acc + acc_prev
-        total_spp = start_sample - 1 + args.spp
-        if args.checkpoint:
-            np.savez(args.checkpoint, acc=acc.astype(np.float32),
-                     next_sample=np.int64(start_sample + args.spp),
-                     shape=np.array([height, width]),
-                     depth=np.int64(args.max_ray_depth))
-            log.info("checkpoint -> %s (%d samples)", args.checkpoint, total_spp)
-        img = np.asarray(reinhard_jodie(jnp.asarray(acc / np.float32(total_spp))))
+    # one linear accumulation feeds EVERY sink (checkpoint, PNG, HDR):
+    # a single invocation cannot disagree with itself
+    acc = np.asarray(mean_new, np.float32).reshape(height, width, 3) * np.float32(args.spp)
+    if acc_prev is not None:
+        acc = acc + acc_prev.reshape(acc.shape)
+    total_spp = start_sample - 1 + args.spp
+    if args.checkpoint:
+        np.savez(args.checkpoint, acc=acc.astype(np.float32),
+                 next_sample=np.int64(start_sample + args.spp),
+                 shape=np.array([height, width]),
+                 depth=np.int64(args.max_ray_depth),
+                 fingerprint=np.str_(fingerprint))
+        log.info("checkpoint -> %s (%d samples)", args.checkpoint, total_spp)
+    mean = acc / np.float32(total_spp)
+    img = np.asarray(reinhard_jodie(jnp.asarray(mean)))
     dt = time.perf_counter() - t0
     log.info(
         "rendered %dx%d @ %d spp depth %d in %.2fs - %.1f Mrays/s",
@@ -288,16 +306,43 @@ def main(argv=None) -> int:
 
         jax.profiler.stop_trace()
         log.info("wrote profiler trace to %s", profiler)
-    write_png(args.output, img)
+    write_png(args.output, img.reshape(height, width, 3))
     log.info("wrote %s", args.output)
     if args.hdr_output:
-        from .render.renderer import render_image as _ri
         from .utils.image import write_hdr
 
-        hdr, _ = _ri(tables, camera, width, height, args.spp, args.max_ray_depth, tonemap=False)
-        write_hdr(args.hdr_output, hdr)
-        log.info("wrote %s", args.hdr_output)
+        write_hdr(args.hdr_output, mean.reshape(height, width, 3))
+        log.info("wrote %s (same accumulation as the PNG)", args.hdr_output)
     return 0
+
+
+def _render_fingerprint(tables, camera, width, height, depth, nee) -> str:
+    """Digest of everything that must match for accumulations to blend.
+
+    Scene identity is fingerprinted by cheap geometry/material checksums
+    (triangle count, coordinate sums, material count, emissive CDF tail,
+    skybox shape/strength) rather than file names, so procedurally built
+    and differently-pathed-but-identical scenes compare correctly.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.asarray([width, height, depth], np.int64).tobytes())
+    h.update(str(nee).encode())
+    h.update(np.asarray(camera.position, np.float64).tobytes())
+    h.update(np.asarray(camera.direction, np.float64).tobytes())
+    h.update(np.float64(getattr(camera, "fov", 0.0)).tobytes())
+    for col in (tables.v0.x, tables.v0.y, tables.v0.z, tables.v2.x):
+        a = np.asarray(col)
+        h.update(np.int64(a.shape[0]).tobytes())
+        h.update(np.float64(a.sum(dtype=np.float64)).tobytes())
+    h.update(np.int64(tables.materials.base_colour.x.shape[0]).tobytes())
+    h.update(np.int64(tables.num_emissive_tris).tobytes())
+    if tables.num_emissive_tris:
+        h.update(np.float64(np.asarray(tables.em_cdf).sum(dtype=np.float64)).tobytes())
+    h.update(np.asarray(tables.skybox.shape, np.int64).tobytes())
+    h.update(np.float64(np.asarray(tables.skybox_strength)).tobytes())
+    return h.hexdigest()
 
 
 if __name__ == "__main__":

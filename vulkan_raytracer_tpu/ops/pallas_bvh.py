@@ -77,7 +77,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .math3 import v3_gather
+from .math3 import V3, v3_gather
 
 _TILE_S, _TILE_L = 8, 128
 _TILE = _TILE_S * _TILE_L
@@ -111,8 +111,11 @@ class PacketBVH:
     tri_id: jax.Array  # (8, Nt_slots) i32
     nodes_f: jax.Array  # (8, 6, Nc, 128) f32: bmin.xyz, bmax.xyz
     nodes_i: jax.Array  # (8, 2, Nc, 128) i32: first_leaf, miss
+    tl_box: jax.Array  # (K, 6) f32 treelet AABBs (slightly dilated)
+    tl_lim: jax.Array  # (8, K, 2) i32 per-octant stream [start, end)
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     leaf_size: int = dataclasses.field(metadata=dict(static=True))
+    n_treelets: int = dataclasses.field(metadata=dict(static=True))
 
 
 def _pad_np(x, m, fill=0.0):
@@ -124,9 +127,16 @@ def _pad_np(x, m, fill=0.0):
     return x
 
 
+#: upper bound on treelets (done-bit words in the binned walk = K/32)
+MAX_TREELETS = 128
+#: default target triangle slots per treelet (VKRT_TREELET_TRIS overrides,
+#: read at build time so tests/tuning can vary it per scene upload)
+TREELET_TRIS = 4096
+
+
 def build_packet_bvh(bvh) -> PacketBVH:
     """Repack a ThreadedBVH into 8 per-octant packet streams (host-side)."""
-    from ..accel.bvh import octant_permutations
+    from ..accel.bvh import octant_permutations, treelet_cut
 
     k = bvh.leaf_size
     if bvh.num_tri_slots >= 2**24 or bvh.num_nodes >= 2**24:
@@ -148,9 +158,30 @@ def build_packet_bvh(bvh) -> PacketBVH:
 
     perms = octant_permutations(amin, amax, first, miss)
 
+    # --- treelet frontier for the binned walk --------------------------
+    # pick max_tris so the cut fits MAX_TREELETS (each halving of the
+    # frontier roughly halves the count)
+    max_tris = max(int(os.environ.get("VKRT_TREELET_TRIS", TREELET_TRIS)), k)
+    cut = treelet_cut(first, miss, k, max_tris)
+    while cut.shape[0] > MAX_TREELETS:
+        max_tris *= 2
+        cut = treelet_cut(first, miss, k, max_tris)
+    kt = cut.shape[0]
+    ext = amax[cut] - amin[cut]
+    eps = 1e-5 * np.maximum(ext.max(axis=1, keepdims=True), 1e-3) + 1e-7
+    tl_box = np.concatenate([amin[cut] - eps, amax[cut] + eps], axis=1).astype(
+        np.float32
+    )
+    tl_lim = np.empty((8, kt, 2), np.int32)
+    tsize = (miss - np.arange(n))[cut]  # subtree node count, swap-invariant
+
     nf, ni, lv, tid = [], [], [], []
     for o in range(8):
         old = perms[o]  # new node index -> old node index
+        pos = np.empty(n, np.int64)  # old node index -> new position
+        pos[old] = np.arange(n)
+        tl_lim[o, :, 0] = pos[cut]
+        tl_lim[o, :, 1] = pos[cut] + tsize
         fl_old = first_leaf[old]
         leafmask = fl_old >= 0
         # renumber leaves along this octant's preorder -> forward streaming
@@ -185,8 +216,11 @@ def build_packet_bvh(bvh) -> PacketBVH:
         tri_id=jnp.asarray(np.stack(tid)),
         nodes_f=jnp.asarray(np.stack(nf)),
         nodes_i=jnp.asarray(np.stack(ni)),
+        tl_box=jnp.asarray(tl_box),
+        tl_lim=jnp.asarray(tl_lim),
         num_nodes=bvh.num_nodes,
         leaf_size=k,
+        n_treelets=kt,
     )
 
 
@@ -239,6 +273,7 @@ def _tile_beam_bounds(rays, t_init):
 def _kernel(
     bounds_ref,
     oct_ref,
+    lim_ref,
     nodes_f_hbm,
     nodes_i_hbm,
     leaves_hbm,
@@ -253,7 +288,6 @@ def _kernel(
     tout,
     slotout,
     *rest,
-    end: int,
     leaf_size: int,
     shadow: bool,
     stats: bool = False,
@@ -304,6 +338,11 @@ def _kernel(
     # share (8, .) blocks of the per-tile tables and read their own row
     row = pl.program_id(0) % 8
     oct_i = oct_ref[row, 0]
+    # per-tile walk window [start, end): the whole tree for a plain sweep,
+    # one treelet subtree for the binned walk (contiguous in every octant
+    # stream — see accel.bvh.treelet_cut)
+    start_i = lim_ref[row, 0]
+    end_i = lim_ref[row, 1]
 
     olx, ohx = bounds_ref[row, 0], bounds_ref[row, 1]
     oly, ohy = bounds_ref[row, 2], bounds_ref[row, 3]
@@ -461,7 +500,7 @@ def _kernel(
         # itself, so miss = index + size = cur + 1 — no miss table needed
         return jnp.where(is_leaf, cur + 1, code)
 
-    jax.lax.while_loop(lambda cur: cur < end, body, jnp.int32(0))
+    jax.lax.while_loop(lambda cur: cur < end_i, body, start_i)
     tout[:] = tb_ref[:]
     slotout[:] = sb_ref[:]
     if stats:
@@ -476,10 +515,10 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("end", "leaf_size", "shadow", "stats")
+    jax.jit, static_argnames=("leaf_size", "shadow", "stats")
 )
 def _packet_sweep(
-    pb_arrays, bounds, octs, rays, t_lo, t_init, end, leaf_size, shadow, stats=False
+    pb_arrays, bounds, octs, lims, rays, t_lo, t_init, leaf_size, shadow, stats=False
 ):
     nodes_f, nodes_i, leaves = pb_arrays
     n_rows = rays[0].shape[0]
@@ -494,8 +533,10 @@ def _packet_sweep(
     if t_pad:
         bounds = jnp.pad(bounds, ((0, t_pad), (0, 0)))
         octs = jnp.pad(octs, ((0, t_pad), (0, 0)))
+        lims = jnp.pad(lims, ((0, t_pad), (0, 0)))
     bounds_spec = pl.BlockSpec((8, 12), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
     oct_spec = pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    lim_spec = pl.BlockSpec((8, 2), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
     out_specs = (ray_spec, ray_spec)
     out_shape = (
         jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
@@ -508,10 +549,10 @@ def _packet_sweep(
         )
     return pl.pallas_call(
         functools.partial(
-            _kernel, end=end, leaf_size=leaf_size, shadow=shadow, stats=stats
+            _kernel, leaf_size=leaf_size, shadow=shadow, stats=stats
         ),
         grid=grid,
-        in_specs=[bounds_spec, oct_spec] + [any_spec] * 3 + [ray_spec] * 8,
+        in_specs=[bounds_spec, oct_spec, lim_spec] + [any_spec] * 3 + [ray_spec] * 8,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -528,7 +569,7 @@ def _packet_sweep(
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=bool(os.environ.get("VKRT_PALLAS_INTERPRET")),
-    )(bounds, octs, nodes_f, nodes_i, leaves, *rays, t_lo, t_init)
+    )(bounds, octs, lims, nodes_f, nodes_i, leaves, *rays, t_lo, t_init)
 
 
 def packet_ok(tables) -> bool:
@@ -559,40 +600,14 @@ def _oct_lane(octs, n):
     ]
 
 
-def packet_closest(tables, o, d, *, t_min, t_max, active):
-    """Drop-in for dense_closest/trace_closest on big scenes.
-
-    Alpha-agnostic (every triangle is a candidate); ``t_min`` may be a
-    scalar or per-lane (N,) array for the alpha resample loop.
-    """
-    pb: PacketBVH = tables.pbvh
-    n = o.x.shape[0]
-    t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    rays, t_init, _ = _prep_rays(o, d, jnp.where(active, t_bound, -1.0))
-    t_lo = jnp.pad(t_lo, (0, t_init.size - n)).reshape(t_init.shape)
-    bounds, octs = _tile_beam_bounds(rays, t_init)
-    t_best, slot = _packet_sweep(
-        (pb.nodes_f, pb.nodes_i, pb.leaves),
-        bounds,
-        octs,
-        rays,
-        t_lo,
-        t_init,
-        int(pb.num_nodes),
-        int(pb.leaf_size),
-        False,
+def _full_lims(pb: PacketBVH, n_tiles: int):
+    return jnp.broadcast_to(
+        jnp.asarray([[0, pb.num_nodes]], jnp.int32), (n_tiles, 2)
     )
-    t_best = t_best.reshape(-1)[:n]
-    slot = slot.reshape(-1)[:n]
-    # slot -> scene triangle id through the tile's octant stream
-    nt = pb.tri_id.shape[1]
-    flat = _oct_lane(octs, n) * nt + jnp.maximum(slot, 0)
-    tri = jnp.take(pb.tri_id.reshape(-1), flat, axis=0)
-    found = (slot >= 0) & (tri >= 0)
-    tri = jnp.where(found, tri, -1)
 
-    # recompute (u, v) for the winner (9 flat gathers)
+
+def _winner_uv(tables, o, d, found, t_best, tri):
+    """Recompute (u, v) for the winning triangle (9 flat gathers)."""
     ti = jnp.maximum(tri, 0)
     wv0 = v3_gather(tables.v0, ti)
     e1 = v3_gather(tables.v1, ti) - wv0
@@ -611,22 +626,300 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
     )
 
 
+def _slot_to_tri(pb: PacketBVH, octs, slot, n):
+    """Map an octant-stream leaf slot back to the scene triangle id."""
+    nt = pb.tri_id.shape[1]
+    flat = _oct_lane(octs, n) * nt + jnp.maximum(slot, 0)
+    tri = jnp.take(pb.tri_id.reshape(-1), flat, axis=0)
+    found = (slot >= 0) & (tri >= 0)
+    return jnp.where(found, tri, -1), found
+
+
+def _inv_comp(x):
+    tiny = jnp.float32(1e-30)
+    return 1.0 / jnp.where(jnp.abs(x) < tiny, jnp.where(x < 0, -tiny, tiny), x)
+
+
+def _binned_enabled(pb) -> bool:
+    return pb.n_treelets > 1 and not os.environ.get("VKRT_NO_BINNED")
+
+
+#: treelets expanded per ray per round; small C recovers closest-hit early
+#: termination (the round loop prunes treelets behind the tightened t)
+PAIRS_PER_ROUND = 4
+
+
+def _binned_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool):
+    """Treelet-binned pair-expansion traversal (the big-scene path).
+
+    The single-sweep walk's cost is beam fatness: one 1024-lane tile's
+    conservative beam visits the union of its rays' subtrees, ~0.1% of
+    whose triangle tests are useful on diffuse bounce waves (measured:
+    ~58k triangles tested per 1024-lane tile for ~50 hits).  Here each
+    ray determines *exactly* which treelets (maximal <= ~4k-triangle
+    subtrees, accel.bvh.treelet_cut) it enters — K cheap full-VPU slab
+    tests — and is expanded into (ray, treelet) PAIRS, its C nearest
+    unprocessed treelets per round.  Pairs are binned treelet-major into
+    tile-padded lanes (one u32 argsort + unique-index scatters + flat
+    gathers, all bandwidth-bound), so every (8, 128) tile walks ONE
+    treelet subtree with a beam over rays that all personally enter it —
+    exact pair enumeration instead of beam-union waste.  Rounds iterate
+    a per-ray (entry_t, k) lexicographic cursor: closest-hit rays stop
+    as soon as the next treelet's entry exceeds their best t, shadow
+    rays stop at the first occluder — per-ray early termination the
+    shared beam could never express.
+
+    The reference gets all this for free in RT-core hardware per-ray
+    traversal (raygen.rgen:59); this is its TPU shape: exact per-ray
+    decisions in vector code, shared-cursor packets only inside small
+    same-destination subtrees.
+
+    Returns (t_best, res): res = winning scene triangle id / -1 for
+    closest, occluded flag (>= 0) for shadow.
+    """
+    n = o.x.shape[0]
+    kk = int(pb.n_treelets)
+    cc = min(int(os.environ.get("VKRT_PAIRS_PER_ROUND", PAIRS_PER_ROUND)), kk)
+    if n >= 1 << 24:
+        raise ValueError("binned sweep supports < 2^24 lanes per band")
+    ray_bits = max(int(n - 1).bit_length(), 1)
+    # padded pair-lane count: every bin padded up to a tile boundary
+    p_pad = (-(-(cc * n + kk * _TILE + 1) // _TILE)) * _TILE
+    n_tiles = p_pad // _TILE
+    box = pb.tl_box  # (K, 6)
+    ivx, ivy, ivz = _inv_comp(d.x), _inv_comp(d.y), _inv_comp(d.z)
+    active0 = t_init0 >= 0.0
+    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * _TILE
+
+    def select(cursor_t, cursor_k, t_best, alive):
+        """C smallest (entry_t, k) > cursor among live entered treelets.
+
+        Returns (sel_k (C, n) with kk = none, cursor_t', cursor_k').
+        """
+        sels = []
+        ct, ck = cursor_t, cursor_k
+        for _ in range(cc):
+            def step(k, acc):
+                bt, bk = acc
+                row = jax.lax.dynamic_slice_in_dim(box, k, 1, 0)[0]
+                ax, bx = (row[0] - o.x) * ivx, (row[3] - o.x) * ivx
+                ay, by = (row[1] - o.y) * ivy, (row[4] - o.y) * ivy
+                az, bz = (row[2] - o.z) * ivz, (row[5] - o.z) * ivz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+                    jnp.minimum(az, bz),
+                )
+                far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+                    jnp.maximum(az, bz),
+                )
+                te = jnp.maximum(near, 0.0)
+                cand = (
+                    alive
+                    & ((te > ct) | ((te == ct) & (k > ck)))
+                    & (near <= far)
+                    & (far >= t_lo_l)
+                    & (te <= t_best)
+                )
+                better = cand & ((te < bt) | ((te == bt) & (k < bk)))
+                return jnp.where(better, te, bt), jnp.where(better, k, bk)
+
+            bt, bk = jax.lax.fori_loop(
+                0, kk, step,
+                (jnp.full((n,), jnp.inf, jnp.float32),
+                 jnp.full((n,), kk, jnp.int32)),
+            )
+            sels.append(bk)
+            valid = bk < kk
+            ct = jnp.where(valid, bt, ct)
+            ck = jnp.where(valid, bk, ck)
+        return jnp.stack(sels), ct, ck
+
+    def body(c):
+        t_best, res = c["t"], c["res"]
+        sel_k = c["sel"]  # (C, n)
+        # ---- bin pairs treelet-major, bins padded to tile multiples ----
+        pair_k = sel_k.reshape(-1)  # (C*n,)
+        pair_ray = jnp.tile(jnp.arange(n, dtype=jnp.int32), cc)
+        key = (
+            pair_k.astype(jnp.uint32) << ray_bits
+        ) | pair_ray.astype(jnp.uint32)
+        perm = jnp.argsort(key)
+        pk_s = jnp.take(pair_k, perm)
+        pr_s = jnp.take(pair_ray, perm)
+        off = jnp.searchsorted(
+            pk_s, jnp.arange(kk + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)  # (kk+1,) bin starts in sorted order
+        cnt = jnp.diff(off)
+        pof = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(-(-cnt // _TILE) * _TILE).astype(jnp.int32)]
+        )  # padded bin starts
+        i_s = jnp.arange(cc * n, dtype=jnp.int32)
+        pkc = jnp.minimum(pk_s, kk - 1)
+        dest = jnp.where(
+            pk_s < kk,
+            jnp.take(pof, pkc) + (i_s - jnp.take(off, pkc)),
+            pof[kk] + (i_s - off[kk]),  # invalid pairs park past the bins
+        )
+        pair_ray_p = (
+            jnp.full((p_pad,), -1, jnp.int32)
+            .at[dest]
+            .set(jnp.where(pk_s < kk, pr_s, -1))
+        )
+        back = jnp.zeros((cc * n,), jnp.int32).at[perm].set(dest)
+        # ---- gather pair-lane rays, walk every bin in ONE launch -------
+        prc = jnp.maximum(pair_ray_p, 0)
+        po = V3(*(jnp.take(x, prc) for x in (o.x, o.y, o.z)))
+        pd = V3(*(jnp.take(x, prc) for x in (d.x, d.y, d.z)))
+        live = pair_ray_p >= 0
+        t_init_pair = jnp.where(live, jnp.take(t_best, prc), -1.0)
+        rays_p, t_init_pp, _ = _prep_rays(po, pd, t_init_pair)
+        t_lo_pp = jnp.take(t_lo_l, prc).reshape(t_init_pp.shape)
+        bounds, octs = _tile_beam_bounds(rays_p, t_init_pp)
+        tile_k = jnp.clip(
+            jnp.searchsorted(pof, tile_starts, side="right") - 1, 0, kk - 1
+        ).astype(jnp.int32)
+        # bin-padding tiles carry no live pairs: zero their walk window so
+        # the kernel skips them outright instead of walking a dead beam
+        has_live = jnp.any(live.reshape(n_tiles, _TILE), axis=1)
+        lim = jnp.take(
+            pb.tl_lim.reshape(-1, 2), octs[:, 0] * kk + tile_k, axis=0
+        )
+        lim = jnp.where(has_live[:, None], lim, 0)
+        if os.environ.get("VKRT_BINNED_NO_KERNEL"):
+            # debug: glue-only timing variant (results are wrong)
+            t_new_p, slot_p = t_init_pp, jnp.full(
+                t_init_pp.shape, -1, jnp.int32
+            )
+        else:
+            t_new_p, slot_p = _packet_sweep(
+                (pb.nodes_f, pb.nodes_i, pb.leaves),
+                bounds, octs, lim, rays_p, t_lo_pp, t_init_pp,
+                int(pb.leaf_size), shadow,
+            )
+        t_new = t_new_p.reshape(-1)
+        slot = slot_p.reshape(-1)
+        # ---- reduce pair results back to rays (C-row min, no sort) -----
+        if shadow:
+            occ_c = jnp.take(slot >= 0, back).reshape(cc, n)
+            hit_any = jnp.any(occ_c, axis=0) & (sel_k[0] < kk)
+            res = jnp.where(hit_any & (res < 0), 1, res)
+        else:
+            tri_pair, found = _slot_to_tri(pb, octs, slot, p_pad)
+            t_c = jnp.take(t_new, back).reshape(cc, n)
+            tri_c = jnp.take(jnp.where(found, tri_pair, -1), back).reshape(cc, n)
+            for ci in range(cc):
+                ok = (sel_k[ci] < kk) & (tri_c[ci] >= 0)
+                upd = ok & ((t_c[ci] < t_best) | (res < 0))
+                t_best = jnp.where(upd, t_c[ci], t_best)
+                res = jnp.where(upd, tri_c[ci], res)
+        # ---- next round's selection ------------------------------------
+        alive2 = active0 & (res < 0) if shadow else active0
+        sel2, ct2, ck2 = select(c["ct"], c["ck"], t_best, alive2)
+        return dict(
+            t=t_best, res=res, sel=sel2, ct=ct2, ck=ck2, it=c["it"] + 1
+        )
+
+    ct0 = jnp.full((n,), -jnp.inf, jnp.float32)
+    ck0 = jnp.full((n,), -1, jnp.int32)
+    sel0, ct1, ck1 = select(ct0, ck0, t_init0, active0)
+    init = dict(
+        t=jnp.where(active0, t_init0, 0.0),
+        res=jnp.full((n,), -1, jnp.int32),
+        sel=sel0, ct=ct1, ck=ck1, it=jnp.int32(0),
+    )
+    if os.environ.get("VKRT_BINNED_EAGER"):
+        # debug/tuning hook: run the round loop in python with per-round
+        # wall-clock + live-pair telemetry (only valid outside jit)
+        import time as _time
+
+        bodyj = jax.jit(body)
+        c = init
+        while bool(jnp.any(c["sel"] < kk)) and int(c["it"]) < kk:
+            pairs = int(jnp.sum(c["sel"] < kk))
+            jax.block_until_ready(c)
+            t0 = _time.perf_counter()
+            c = bodyj(c)
+            jax.block_until_ready(c)
+            print(
+                f"  round {int(c['it'])}: pairs {pairs} "
+                f"{1e3 * (_time.perf_counter() - t0):8.2f} ms",
+                flush=True,
+            )
+        return c["t"], c["res"], c["it"]
+    max_rounds = int(os.environ.get("VKRT_BINNED_MAX_ROUNDS", kk))
+    out = jax.lax.while_loop(
+        lambda c: jnp.any(c["sel"] < kk)
+        & (c["it"] < jnp.int32(min(kk, max_rounds))),
+        body, init,
+    )
+    return out["t"], out["res"], out["it"]
+
+
+def packet_closest(tables, o, d, *, t_min, t_max, active):
+    """Drop-in for dense_closest/trace_closest on big scenes.
+
+    Alpha-agnostic (every triangle is a candidate); ``t_min`` may be a
+    scalar or per-lane (N,) array for the alpha resample loop.  Scenes
+    whose packet stream carries more than one treelet traverse via the
+    binned multi-pass walk (:func:`_binned_sweep`); small scenes (and
+    ``VKRT_NO_BINNED=1``) use the single shared-beam sweep.
+    """
+    pb: PacketBVH = tables.pbvh
+    n = o.x.shape[0]
+    t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_init0 = jnp.where(active, t_bound, -1.0)
+
+    if _binned_enabled(pb):
+        t_best, tri, _ = _binned_sweep(pb, o, d, t_lo, t_init0, shadow=False)
+        return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
+
+    rays, t_init, _ = _prep_rays(o, d, t_init0)
+    t_lo_p = jnp.pad(t_lo, (0, t_init.size - n)).reshape(t_init.shape)
+    bounds, octs = _tile_beam_bounds(rays, t_init)
+    t_best, slot = _packet_sweep(
+        (pb.nodes_f, pb.nodes_i, pb.leaves),
+        bounds,
+        octs,
+        _full_lims(pb, bounds.shape[0]),
+        rays,
+        t_lo_p,
+        t_init,
+        int(pb.leaf_size),
+        False,
+    )
+    t_best = t_best.reshape(-1)[:n]
+    slot = slot.reshape(-1)[:n]
+    tri, found = _slot_to_tri(pb, octs, slot, n)
+    return _winner_uv(tables, o, d, found, t_best, tri)
+
+
 def packet_shadow(tables, o, d, *, t_max, active):
     """Terminate-on-first-hit occlusion over the packet BVH (tMin = 0)."""
     pb: PacketBVH = tables.pbvh
     n = o.x.shape[0]
     t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    rays, t_init, _ = _prep_rays(o, d, jnp.where(active, t_bound, -1.0))
+    t_init0 = jnp.where(active, t_bound, -1.0)
+
+    if _binned_enabled(pb):
+        _, res, _ = _binned_sweep(
+            pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
+        )
+        return (res >= 0) & active
+
+    rays, t_init, _ = _prep_rays(o, d, t_init0)
     t_lo = jnp.zeros_like(t_init)
     bounds, octs = _tile_beam_bounds(rays, t_init)
     _, slot = _packet_sweep(
         (pb.nodes_f, pb.nodes_i, pb.leaves),
         bounds,
         octs,
+        _full_lims(pb, bounds.shape[0]),
         rays,
         t_lo,
         t_init,
-        int(pb.num_nodes),
         int(pb.leaf_size),
         True,
     )

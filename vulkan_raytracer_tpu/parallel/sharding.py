@@ -35,7 +35,8 @@ def make_mesh(devices=None, axis: str = "dp") -> Mesh:
 
 
 def render_sample_sharded(
-    tables, view_inv, proj_inv, width, height, sample_count, max_depth, mesh: Mesh
+    tables, view_inv, proj_inv, width, height, sample_count, max_depth, mesh: Mesh,
+    nee_weighting: str = "reference",
 ):
     """One progressive sample, pixels sharded over ``mesh``'s first axis.
 
@@ -64,7 +65,8 @@ def render_sample_sharded(
         lane0 = (d * per).astype(jnp.uint32)
         lanes = jnp.minimum(lane0 + jnp.arange(per, dtype=jnp.uint32), n - 1)
         radiance, rays = render_sample(
-            tables_, vi, pi, width, height, sample_count, max_depth, lane_idx=lanes
+            tables_, vi, pi, width, height, sample_count, max_depth,
+            lane_idx=lanes, nee_weighting=nee_weighting,
         )
         return radiance, jax.lax.psum(rays, axis)
 
@@ -72,13 +74,18 @@ def render_sample_sharded(
     return radiance[:n], rays
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 8), static_argnames=("mesh",))
+@functools.partial(
+    jax.jit, static_argnums=(3, 4, 5, 6, 8),
+    static_argnames=("mesh", "nee_weighting"),
+)
 def _render_batch_sharded(
-    tables, view_inv, proj_inv, width, height, max_depth, spp, start_sample, mesh
+    tables, view_inv, proj_inv, width, height, max_depth, spp, start_sample, mesh,
+    nee_weighting="reference",
 ):
     def step(acc, s):
         radiance, rays = render_sample_sharded(
-            tables, view_inv, proj_inv, width, height, s, max_depth, mesh
+            tables, view_inv, proj_inv, width, height, s, max_depth, mesh,
+            nee_weighting=nee_weighting,
         )
         return acc + radiance, rays
 
@@ -89,7 +96,7 @@ def _render_batch_sharded(
 
 def render_image_sharded(
     tables, camera, width, height, spp, max_depth, mesh: Mesh, start_sample: int = 1,
-    tonemap: bool = True,
+    tonemap: bool = True, nee_weighting: str = "reference",
 ):
     """Headless multi-chip render; same contract as render.renderer.render_image."""
     import numpy as np
@@ -100,7 +107,7 @@ def render_image_sharded(
     view_inv, proj_inv = camera_uniforms(camera)
     acc, rays = _render_batch_sharded(
         tables, view_inv, proj_inv, width, height, max_depth, spp,
-        jnp.uint32(start_sample), mesh=mesh,
+        jnp.uint32(start_sample), mesh=mesh, nee_weighting=nee_weighting,
     )
     img = acc / jnp.float32(spp)
     if tonemap:
