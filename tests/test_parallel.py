@@ -44,3 +44,29 @@ def test_sharded_pads_non_divisible_lane_counts():
     )
     img_1, _ = render_image(tables, cam, w, h, spp=2, max_depth=2, tonemap=False)
     np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_banded_path_matches(monkeypatch):
+    """Force per-chip banding + sample chunking (the round-2 verdict gap:
+    the sharded path now reuses the single-chip block-swizzle/band/wave
+    machinery) and check equivalence against the single-device render."""
+    from vulkan_raytracer_tpu.render import renderer as rmod
+
+    tables = cornell_box_scene().upload()
+    mesh = make_mesh()
+    cam = Camera(
+        position=np.array([0.0, 1.0, 2.4]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    w, h = 40, 16
+    # per-chip lanes = 80; cap waves at 64 lanes so n_bands > 1 and
+    # spp chunks split (spp=6 -> chunks of 4+2)
+    monkeypatch.setattr(rmod, "MAX_LANES_PER_PASS", 64)
+    img_s, rays_s = render_image_sharded(
+        tables, cam, w, h, spp=6, max_depth=2, mesh=mesh, tonemap=False
+    )
+    img_1, rays_1 = render_image(
+        tables, cam, w, h, spp=6, max_depth=2, tonemap=False
+    )
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+    assert rays_s == rays_1
