@@ -50,7 +50,29 @@ TARGET_MRAYS = 150.0  # BASELINE.json north_star
 REFERENCE_CORNELL = "/root/reference/res/CornellBox.gltf"
 
 
-def run_config(name, tables, cam, w, h, spp, depth, extra=None):
+def quality_gate(name, tables, cam, crop, spp, depth, bar=2e-3):
+    """Small-crop per-pixel RMSE vs the NumPy oracle at equal spp.
+
+    Runs through the SAME traversal dispatch as the timed config (big
+    scenes exercise the binned packet path on-chip), so every published
+    number is tied to a correctness bound (round-2 verdict item 3).
+    """
+    from vulkan_raytracer_tpu.render import oracle
+
+    img_x, _ = render_image(tables, cam, crop, crop, spp=spp, max_depth=depth,
+                            tonemap=False)
+    img_o = oracle.render_image(tables, cam, crop, crop, spp=spp, max_depth=depth)
+    rmse = float(np.sqrt(np.mean((np.asarray(img_x) - img_o) ** 2)))
+    assert rmse < bar, f"{name}: RMSE {rmse} vs oracle exceeds the {bar} bar"
+    return rmse
+
+
+def run_config(name, tables, cam, w, h, spp, depth, extra=None, crop=None):
+    extra = dict(extra or {})
+    if crop is not None:
+        cw, cspp, cdepth = crop
+        rmse = quality_gate(name, tables, cam, cw, cspp, cdepth)
+        extra[f"rmse_vs_oracle_{cw}x{cw}_{cspp}spp"] = round(rmse, 9)
     # warm-up / compile (identical static shapes so the timed call is cached)
     img, _ = render_image(tables, cam, w, h, spp=spp, max_depth=depth, as_uint8=True)
     t0 = time.perf_counter()
@@ -94,14 +116,14 @@ def main() -> None:
     cam = Camera(position=np.array([0.0, 2.2, 4.5]),
                  direction=np.array([0.0, -0.25, -1.0]))
     run_config("Mrays_cfg2_dragon_substitute_262k_512x512_d4", t, cam,
-               512, 512, spp=4, depth=4)
+               512, 512, spp=4, depth=4, crop=(16, 2, 3))
 
     # ---- config 3: chess-class transmission ----------------------------
     t = chess_scene().upload()
     cam = Camera(position=np.array([0.0, 4.0, 7.0]),
                  direction=np.array([0.0, -0.5, -1.0]))
     run_config("Mrays_cfg3_chess_substitute_98k_512x512_d6", t, cam,
-               512, 512, spp=4, depth=6)
+               512, 512, spp=4, depth=6, crop=(16, 2, 4))
 
     # ---- config 4: sponza-class + HDR skybox ---------------------------
     s = hall_scene()
@@ -111,14 +133,14 @@ def main() -> None:
     cam = Camera(position=np.array([-9.0, 1.8, 0.0]),
                  direction=np.array([1.0, 0.0, 0.0]))
     run_config("Mrays_cfg4_sponza_substitute_256k_hdrsky_960x540_d4", t, cam,
-               960, 540, spp=2, depth=4)
+               960, 540, spp=2, depth=4, crop=(16, 2, 3))
 
     # ---- config 5: multi-model 1080p depth 8 ---------------------------
     t = multi_scene().upload()
     cam = Camera(position=np.array([-9.0, 2.0, 1.5]),
                  direction=np.array([1.0, -0.1, -0.15]))
     run_config("Mrays_cfg5_multimodel_1920x1080_d8", t, cam,
-               1920, 1080, spp=1, depth=8)
+               1920, 1080, spp=1, depth=8, crop=(12, 1, 4))
 
     # ---- config 1 (headline, last): reference CornellBox.gltf ----------
     # RMSE vs the independent NumPy oracle at equal spp (BASELINE.json

@@ -22,6 +22,26 @@ def _rmse(a, b):
     return float(np.sqrt(np.mean((a - b) ** 2)))
 
 
+def test_oracle_lane_chunking_is_transparent(monkeypatch):
+    """The lane-chunked brute-force fold (big-scene bench quality gates)
+    returns bit-identical results to the single-shot fold."""
+    tables = cornell_box_scene().upload()
+    sc = oracle.OracleScene(tables)
+    rng = np.random.default_rng(3)
+    n = 37  # deliberately not a multiple of any chunk size
+    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    o[:, 1] += 1.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_hi = rng.uniform(0.5, 5.0, n).astype(np.float32)
+    t_lo = np.float32(1e-4)  # oracle t_min is scalar (alpha loop passes one)
+    ref = sc.closest(o, d, t_lo, t_hi)
+    monkeypatch.setattr(oracle, "MAX_PAIRS", 5 * sc.v0.shape[0])
+    got = sc.closest(o, d, t_lo, t_hi)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cornell_matches_oracle():
     tables = cornell_box_scene().upload()
     cam = Camera(

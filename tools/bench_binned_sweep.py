@@ -99,12 +99,13 @@ def main():
         tabs = hall_scene().upload()
         kk = tabs.pbvh.n_treelets
 
+        stats_on = bool(os.environ.get("VKRT_BINNED_STATS"))
+
         def run(tables, a, b):
             t0 = jnp.where(act, jnp.full((n,), 1e32, jnp.float32), -1.0)
-            tbest, tri, rounds = pk._binned_sweep(
-                tables.pbvh, a, b, t_lo, t0, shadow=False
-            )
-            return tbest.sum(), (tri >= 0).sum(), rounds
+            out = pk._binned_sweep(tables.pbvh, a, b, t_lo, t0, shadow=False)
+            r = (out[0].sum(), (out[1] >= 0).sum(), out[2])
+            return r + ((out[3],) if stats_on else ())
 
         f = jax.jit(run)
         out = f(tabs, ov, dv)
@@ -115,12 +116,18 @@ def main():
             out = f(tabs, ov, dv)
             jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
-        print(
+        msg = (
             f"tt={tt:6d} C={cc} K={kk:3d}: {dt*1e3:8.1f} ms -> "
             f"{n/dt/1e6:5.2f} Mrays/s | rounds={int(out[2])} "
-            f"hits={int(out[1])}",
-            flush=True,
+            f"hits={int(out[1])}"
         )
+        if stats_on:
+            st = np.asarray(out[3])
+            msg += (
+                f" | visits={st[0]} leafs={st[1]} nodeDMA={st[2]} "
+                f"leafDMA={st[3]}"
+            )
+        print(msg, flush=True)
 
 
 if __name__ == "__main__":

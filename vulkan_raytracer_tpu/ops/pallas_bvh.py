@@ -792,6 +792,15 @@ def _binned_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool):
             t_new_p, slot_p = t_init_pp, jnp.full(
                 t_init_pp.shape, -1, jnp.int32
             )
+        elif stats_on:
+            t_new_p, slot_p, st = _packet_sweep(
+                (pb.nodes_f, pb.nodes_i, pb.leaves),
+                bounds, octs, lim, rays_p, t_lo_pp, t_init_pp,
+                int(pb.leaf_size), shadow, stats=True,
+            )
+            st_acc = c["stats"] + jnp.sum(
+                st.reshape(-1, _TILE_S, _TILE_L)[:, :4, 0], axis=0
+            )
         else:
             t_new_p, slot_p = _packet_sweep(
                 (pb.nodes_f, pb.nodes_i, pb.leaves),
@@ -817,10 +826,14 @@ def _binned_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool):
         # ---- next round's selection ------------------------------------
         alive2 = active0 & (res < 0) if shadow else active0
         sel2, ct2, ck2 = select(c["ct"], c["ck"], t_best, alive2)
-        return dict(
+        out = dict(
             t=t_best, res=res, sel=sel2, ct=ct2, ck=ck2, it=c["it"] + 1
         )
+        if stats_on:
+            out["stats"] = st_acc
+        return out
 
+    stats_on = bool(os.environ.get("VKRT_BINNED_STATS"))
     ct0 = jnp.full((n,), -jnp.inf, jnp.float32)
     ck0 = jnp.full((n,), -1, jnp.int32)
     sel0, ct1, ck1 = select(ct0, ck0, t_init0, active0)
@@ -829,6 +842,8 @@ def _binned_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool):
         res=jnp.full((n,), -1, jnp.int32),
         sel=sel0, ct=ct1, ck=ck1, it=jnp.int32(0),
     )
+    if stats_on:
+        init["stats"] = jnp.zeros((4,), jnp.int32)
     if os.environ.get("VKRT_BINNED_EAGER"):
         # debug/tuning hook: run the round loop in python with per-round
         # wall-clock + live-pair telemetry (only valid outside jit)
@@ -847,14 +862,18 @@ def _binned_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool):
                 f"{1e3 * (_time.perf_counter() - t0):8.2f} ms",
                 flush=True,
             )
-        return c["t"], c["res"], c["it"]
+        return (c["t"], c["res"], c["it"]) + (
+            (c["stats"],) if stats_on else ()
+        )
     max_rounds = int(os.environ.get("VKRT_BINNED_MAX_ROUNDS", kk))
     out = jax.lax.while_loop(
         lambda c: jnp.any(c["sel"] < kk)
         & (c["it"] < jnp.int32(min(kk, max_rounds))),
         body, init,
     )
-    return out["t"], out["res"], out["it"]
+    return (out["t"], out["res"], out["it"]) + (
+        (out["stats"],) if stats_on else ()
+    )
 
 
 def packet_closest(tables, o, d, *, t_min, t_max, active):
@@ -873,7 +892,8 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
     t_init0 = jnp.where(active, t_bound, -1.0)
 
     if _binned_enabled(pb):
-        t_best, tri, _ = _binned_sweep(pb, o, d, t_lo, t_init0, shadow=False)
+        out = _binned_sweep(pb, o, d, t_lo, t_init0, shadow=False)
+        t_best, tri = out[0], out[1]
         return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
 
     rays, t_init, _ = _prep_rays(o, d, t_init0)
@@ -904,10 +924,10 @@ def packet_shadow(tables, o, d, *, t_max, active):
     t_init0 = jnp.where(active, t_bound, -1.0)
 
     if _binned_enabled(pb):
-        _, res, _ = _binned_sweep(
+        out = _binned_sweep(
             pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
         )
-        return (res >= 0) & active
+        return (out[1] >= 0) & active
 
     rays, t_init, _ = _prep_rays(o, d, t_init0)
     t_lo = jnp.zeros_like(t_init)

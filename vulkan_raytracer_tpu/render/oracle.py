@@ -22,6 +22,8 @@ import numpy as np
 
 F = np.float32
 U = np.uint32
+#: bound on (lanes x triangles) temporaries in the brute-force fold
+MAX_PAIRS = 1 << 24
 PI = F(np.pi)
 TWOPI = F(2 * np.pi)
 BIAS = F(1e-3)
@@ -175,7 +177,22 @@ class OracleScene:
 
     # brute force closest hit
     def closest(self, o, d, t_min, t_max):
+        """Lane-chunked so (lanes x triangles) temporaries stay bounded —
+        big-scene quality crops (bench.py cfg2-5 gates) would otherwise
+        allocate O(n*T*3) floats in one shot."""
         n = o.shape[0]
+        max_lanes = max(1, MAX_PAIRS // max(self.v0.shape[0], 1))
+        if n > max_lanes:
+            outs = [
+                self.closest(
+                    o[i : i + max_lanes],
+                    d[i : i + max_lanes],
+                    t_min if np.ndim(t_min) == 0 else t_min[i : i + max_lanes],
+                    t_max if np.ndim(t_max) == 0 else t_max[i : i + max_lanes],
+                )
+                for i in range(0, n, max_lanes)
+            ]
+            return tuple(np.concatenate(x) for x in zip(*outs))
         pvec = np.cross(d[:, None, :], self.e2[None])
         det = np.sum(self.e1[None] * pvec, -1)
         bad = np.abs(det) < 1e-12
