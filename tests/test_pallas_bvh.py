@@ -141,6 +141,7 @@ def test_binned_treelet_walk_matches_dense(interpret, monkeypatch):
     integrator's alpha resample loop.
     """
     monkeypatch.setenv("VKRT_TREELET_TRIS", "128")
+    monkeypatch.setenv("VKRT_BINNED", "1")  # opt-in since the A/B pin
     from vulkan_raytracer_tpu.ops import pallas_bvh as pk
 
     t = triangle_soup_scene(n_tris=600, seed=9).upload()

@@ -641,7 +641,18 @@ def _inv_comp(x):
 
 
 def _binned_enabled(pb) -> bool:
-    return pb.n_treelets > 1 and not os.environ.get("VKRT_NO_BINNED")
+    """Opt-in only (VKRT_BINNED=1).  Measured on the production sorted
+    hall bounce wave (tools/bench_path_compare.py, 262k lanes, 256k
+    tris): plain sweep 0.55 Mrays/s vs binned 0.25 — the pair-expansion
+    glue (random gathers at ~26 ns/element) plus per-round kernel
+    relaunches cost more than the beam-union waste they remove.  Binned
+    only wins on fully random ray sets (0.25 vs 0.19), which production
+    waves never are (they are origin-morton|octant sorted)."""
+    return (
+        pb.n_treelets > 1
+        and bool(os.environ.get("VKRT_BINNED"))
+        and not os.environ.get("VKRT_NO_BINNED")
+    )
 
 
 #: treelets expanded per ray per round; small C recovers closest-hit early
