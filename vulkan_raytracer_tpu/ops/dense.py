@@ -210,9 +210,7 @@ def dense_emissive_pdf(tables, o, d, *, t_min, active):
     te = tables.em_tri.shape[0]
     nc = max(1, -(-te // CHUNK))
     t_pad = nc * CHUNK
-    ev0 = v3_gather(tables.v0, tables.em_tri)
-    ev1 = v3_gather(tables.v1, tables.em_tri)
-    ev2 = v3_gather(tables.v2, tables.em_tri)
+    ev0, ev1, ev2 = tables.em_v0, tables.em_v1, tables.em_v2
     tri = tuple(
         _pad_to(c, t_pad)[:, None]
         for c in (

@@ -365,10 +365,7 @@ def pallas_pdf_ok(tables) -> bool:
 def pallas_emissive_pdf(tables, o, d, *, t_min, active):
     """Drop-in for dense_emissive_pdf on TPU."""
     em = tables.em_tables
-    et = tables.em_tri
-    ev0 = v3_gather(tables.v0, et)
-    ev1 = v3_gather(tables.v1, et)
-    ev2 = v3_gather(tables.v2, et)
+    ev0, ev1, ev2 = tables.em_v0, tables.em_v1, tables.em_v2
     tri_smem = jnp.stack(
         [
             ev0.x, ev0.y, ev0.z,

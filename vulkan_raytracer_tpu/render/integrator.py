@@ -576,7 +576,6 @@ def _sample_emissive(tables, hit, seed, mask):
         0,
         tables.num_emissive_tris - 1,
     ).astype(jnp.int32)
-    scene_tri = jnp.take(tables.em_tri, tri_e, axis=0)
 
     (ux, uy), seed_uv = rng.rnd_square(seed)
     seed = jnp.where(mask, seed_uv, seed)
@@ -584,9 +583,11 @@ def _sample_emissive(tables, hit, seed, mask):
     ux = jnp.where(fold, 1.0 - ux, ux)
     uy = jnp.where(fold, 1.0 - uy, uy)
 
-    v0 = v3_gather(tables.v0, scene_tri)
-    v1 = v3_gather(tables.v1, scene_tri)
-    v2 = v3_gather(tables.v2, scene_tri)
+    # emissive-local world-space columns (valid under instancing too,
+    # where the global columns hold object-space prototypes)
+    v0 = v3_gather(tables.em_v0, tri_e)
+    v1 = v3_gather(tables.em_v1, tri_e)
+    v2 = v3_gather(tables.em_v2, tri_e)
     point = v0 * ux + v1 * uy + v2 * (1.0 - ux - uy)
 
     ray = point - hit.pos
@@ -604,7 +605,7 @@ def _sample_emissive(tables, hit, seed, mask):
     # happens in sample_lights, merged with the analytic shadow ray.
     t_max = dist * jnp.float32(1.0 - 1e-4) - jnp.float32(1e-5)
 
-    mat_i = jnp.take(tables.tri_mat, jnp.maximum(scene_tri, 0), axis=0)
+    mat_i = jnp.take(tables.em_mat, tri_e, axis=0)
     radiance = v3_gather(tables.materials.emissive_v, mat_i)
     if tables.has_textures:
         # emissive.rchit:39-41 modulates by the emissive texture at the
@@ -612,7 +613,7 @@ def _sample_emissive(tables, hit, seed, mask):
         # barycentric weights are (ux, uy, 1-ux-uy) — no re-intersection
         # needed.  A black texel leaves instanceHit false.
         tex_e = jnp.take(tables.materials.tex_idx, mat_i, axis=0)[:, 3]
-        uv_g = jnp.take(tables.uv, jnp.maximum(scene_tri, 0), axis=0)
+        uv_g = jnp.take(tables.em_uv, tri_e, axis=0)
         w2 = 1.0 - ux - uy
         uv_hit = jnp.stack(
             [

@@ -197,6 +197,15 @@ class SceneTables:
     em_cdf: jax.Array  # (Te,) cumulative, last == 1
     em_tables: EmissivePDFTables  # p_delta/area/normals for the pdf probe
     em_tri: jax.Array  # (Te,) i32 -> scene triangle id
+    # emissive-local WORLD-space copies (the reference's emissive shaders
+    # pull vertices through the geometry SSBO per hit, emissive.rchit:31-44;
+    # here NEE reads these directly so it never depends on the global
+    # triangle columns — which hold object-space prototypes under instancing)
+    em_v0: V3
+    em_v1: V3
+    em_v2: V3
+    em_uv: jax.Array  # (Te, 6) [u0 v0 u1 v1 u2 v2]
+    em_mat: jax.Array  # (Te,) i32 material id
 
     # acceleration structures
     bvh: ThreadedBVH
@@ -582,6 +591,9 @@ class Scene:
             tg0=vcomp(tri_tg[:, 0]),
             tg1=vcomp(tri_tg[:, 1]),
             tg2=vcomp(tri_tg[:, 2]),
+            em_v0=vcomp(v0[em_tri]),
+            em_v1=vcomp(v1[em_tri]),
+            em_v2=vcomp(v2[em_tri]),
             bvh=bvh,
             ebvh=ebvh,
             grid=grid,
@@ -838,6 +850,11 @@ class Scene:
             em_cdf=jnp.asarray(cdf),
             em_tables=em_tables,
             em_tri=jnp.asarray(em_tri),
+            em_v0=vcomp(v0[em_tri]),
+            em_v1=vcomp(v1[em_tri]),
+            em_v2=vcomp(v2[em_tri]),
+            em_uv=jnp.asarray(uv_flat[em_tri]),
+            em_mat=jnp.asarray(tri_mat[em_tri]),
             bvh=bvh,
             ebvh=ebvh,
             grid=grid,
