@@ -68,3 +68,27 @@ def test_release_stops_dragging():
     d0 = cam.direction.copy()
     m.apply(cam, 32, 14, 8, True)  # motion with no button held
     np.testing.assert_allclose(cam.direction, d0)
+
+
+def test_present_elides_repeated_colours():
+    """_present emits one SGR pair for a flat image and full codes on change."""
+    import numpy as np
+
+    from vulkan_raytracer_tpu.viewer import _present
+
+    flat = np.full((4, 8, 3), 17, np.uint8)
+    s = _present(flat)
+    # one fg + one bg escape per row, then only half-block glyphs
+    assert s.count("\x1b[38;2;17;17;17m") == 2  # 4 rows -> 2 half-block rows
+    assert s.count("\x1b[48;2;17;17;17m") == 2
+    assert s.count("▀") == 16
+
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, (2, 5, 3), dtype=np.uint8)
+    s2 = _present(noisy)
+    assert s2.count("▀") == 5
+    assert s2.count("\x1b[38;2;") == 5 and s2.count("\x1b[48;2;") == 5
+    # per-cell colours land in order
+    for x in range(5):
+        t = noisy[0, x]
+        assert f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m" in s2

@@ -211,7 +211,10 @@ def main(argv=None) -> int:
     if args.interactive:
         from .viewer import run_viewer
 
-        run_viewer(tables, camera, min(width, 160), min(height, 120), args.max_ray_depth)
+        # interactive cap: 320x240 (up from round 2's 160x120 — Cornell-class
+        # scenes render ~8 ms/sample at this size on chip; application.cpp:346-408
+        # runs 800x600, still out of reach for >64k-tri scenes, DESIGN.md §3)
+        run_viewer(tables, camera, min(width, 320), min(height, 240), args.max_ray_depth)
         return 0
 
     if args.progressive:

@@ -106,18 +106,35 @@ def _read_chunk(timeout: float = 0.0) -> str:
     return _os.read(sys.stdin.fileno(), 1024).decode(errors="ignore")
 
 
+#: decimal strings for every byte value, so presenting never formats ints
+_DEC = [str(i) for i in range(256)]
+
+
 def _present(img: np.ndarray) -> str:
-    """(H, W, 3) uint8 -> ANSI half-block framebuffer string."""
+    """(H, W, 3) uint8 -> ANSI half-block framebuffer string.
+
+    Hot at interactive resolutions (320x240 = 38,400 cells/frame): works on
+    plain Python ints via ``tolist`` + a decimal-string table, and elides
+    the SGR colour codes for cells whose colours repeat the previous cell
+    (large flat regions collapse to a single escape).
+    """
     h = img.shape[0] - (img.shape[0] % 2)
+    dec = _DEC
     rows = []
     for y in range(0, h, 2):
-        top = img[y]
-        bot = img[y + 1]
+        top = img[y].tolist()
+        bot = img[y + 1].tolist()
         cells = []
-        for x in range(img.shape[1]):
-            tr, tg, tb = (int(c) for c in top[x])
-            br, bg, bb = (int(c) for c in bot[x])
-            cells.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+        ap = cells.append
+        prev_t = prev_b = None
+        for t, b in zip(top, bot):
+            if t != prev_t:
+                ap("\x1b[38;2;" + dec[t[0]] + ";" + dec[t[1]] + ";" + dec[t[2]] + "m")
+                prev_t = t
+            if b != prev_b:
+                ap("\x1b[48;2;" + dec[b[0]] + ";" + dec[b[1]] + ";" + dec[b[2]] + "m")
+                prev_b = b
+            ap("▀")
         rows.append("".join(cells) + "\x1b[0m")
     return "\n".join(rows)
 
