@@ -140,7 +140,15 @@ def _np_tables(scene, tables):
     texref = []
     for k in range(len(v0)):
         b = tex_idx[tri_mat[k], 0]
-        texref.append(scene.textures[b] if b >= 0 else None)
+        if b >= 0:
+            # the device atlas stores UNORM8 (reference image.cpp:21-58
+            # parity); the scalar oracle must read the same quantisation
+            q = np.round(np.clip(scene.textures[b], 0.0, 1.0) * 255.0) / np.float32(
+                255.0
+            )
+            texref.append(q.astype(np.float32))
+        else:
+            texref.append(None)
     return v0, v1, v2, uvs, mode, aval, acut, texref
 
 

