@@ -70,3 +70,20 @@ def test_sharded_banded_path_matches(monkeypatch):
     )
     np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
     assert rays_s == rays_1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_instanced_tables_replicate():
+    """Instanced SceneTables (tuple-of-groups pytree) shard_map-replicate and
+    render identically to the single-device instanced path."""
+    from tests.test_instancing import _cam, _instanced_scene
+
+    tables = _instanced_scene(n_soup_instances=3).upload(instancing=True)
+    assert tables.inst is not None
+    mesh = make_mesh()
+    img_s, rays_s = render_image_sharded(
+        tables, _cam(), 32, 16, spp=2, max_depth=2, mesh=mesh, tonemap=False
+    )
+    img_1, rays_1 = render_image(tables, _cam(), 32, 16, spp=2, max_depth=2, tonemap=False)
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+    assert rays_s == rays_1

@@ -60,6 +60,7 @@ from ..ops.math3 import (
     v3_to_tangent,
 )
 from ..ops.grid_traverse import grid_closest, grid_shadow
+from ..ops.instanced import apply_normal_matrix, instanced_closest, instanced_shadow
 from ..ops.pallas_bvh import packet_closest, packet_ok, packet_shadow
 from ..ops.pallas_dense import (
     pallas_closest,
@@ -91,7 +92,7 @@ def _packet_preferred(tables) -> bool:
     ``VKRT_FORCE_PACKET=1`` routes every scene through it (equivalence
     tests and kernel benchmarking on small scenes).
     """
-    if not packet_ok(tables):
+    if tables.inst is not None or not packet_ok(tables):
         return False
     return (
         tables.num_triangles > DENSE_MAX_TRIS
@@ -107,6 +108,10 @@ def _closest_opaque(tables, o: V3, d: V3, *, t_min, t_max, active):
     one BLEND material used to drop whole scenes off the Pallas kernels).
     ``t_min`` may be per-lane.
     """
+    if tables.inst is not None:  # TLAS instancing: two-level traversal
+        return instanced_closest(
+            tables, o, d, t_min=t_min, t_max=t_max, active=active
+        )
     if _packet_preferred(tables):
         return packet_closest(tables, o, d, t_min=t_min, t_max=t_max, active=active)
     if pallas_ok(tables):
@@ -129,6 +134,8 @@ def _alpha_test(tables, tri, u, v, seed, cand):
     reference's short-circuit evaluation).  Returns (keep, seed).
     """
     ti = jnp.maximum(tri, 0)
+    if tables.inst is not None:  # encoded id -> prototype triangle
+        ti, _ = tables.inst.decode(ti)
     mode = jnp.take(tables.alpha.mode, ti, axis=0)
     alpha = jnp.take(tables.alpha.value, ti, axis=0)
     acut = jnp.take(tables.alpha.cutoff, ti, axis=0)
@@ -211,6 +218,8 @@ def _closest(tables, o: V3, d: V3, *, t_min, t_max, active, seed):
 def _shadow(tables, o: V3, d: V3, *, t_max, active, seed):
     """Occlusion query with shadow.rahit alpha semantics (tMin = 0)."""
     if not tables.has_alpha:
+        if tables.inst is not None:
+            return instanced_shadow(tables, o, d, t_max=t_max, active=active), seed
         if _packet_preferred(tables):
             return packet_shadow(tables, o, d, t_max=t_max, active=active), seed
         if pallas_ok(tables):
@@ -368,9 +377,19 @@ def generate_primary_rays(view_inv, proj_inv, width, height, sample_count, lane_
 
 
 def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v) -> HitInfo:
-    """Build HitInfo for every lane; miss lanes get skybox emission, t=-INF."""
+    """Build HitInfo for every lane; miss lanes get skybox emission, t=-INF.
+
+    Under TLAS instancing ``tri`` is the encoded instance x prototype id
+    (ops/instanced.py): attributes gather at prototype granularity and the
+    object-space normal/tangent transform by the hit instance's
+    inverse-transpose rotation, exactly the reference's per-instance
+    object->world step (hit.rchit:57-60).
+    """
     miss = tri < 0
     ti = jnp.maximum(tri, 0)
+    inst_i = None
+    if tables.inst is not None:
+        ti, inst_i = tables.inst.decode(ti)
     w0 = 1.0 - u - v
 
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
@@ -382,13 +401,18 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v) -> HitInfo:
         c = v3_gather(t2, ti)
         return a * w0 + b * u + c * v
 
-    normal = interp3(tables.n0, tables.n1, tables.n2).normalized()
+    normal = interp3(tables.n0, tables.n1, tables.n2)
+    if inst_i is not None:
+        normal = apply_normal_matrix(tables.inst, inst_i, normal)
+    normal = normal.normalized()
 
     mat_i = jnp.take(tables.tri_mat, ti, axis=0)
     m = tables.materials
 
     # tangent frame (hit.rchit:61-71): built from the pre-flip normal
     tg_raw = interp3(tables.tg0, tables.tg1, tables.tg2)
+    if inst_i is not None:
+        tg_raw = apply_normal_matrix(tables.inst, inst_i, tg_raw)
     has_tg = tg_raw.any_nonzero()
     sign = jnp.take(tables.tg_sign, ti, axis=0)
     tg_n = tg_raw.normalized()

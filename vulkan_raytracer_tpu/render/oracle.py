@@ -101,6 +101,13 @@ class OracleScene:
     """NumPy copies of SceneTables for the oracle."""
 
     def __init__(self, tables):
+        if getattr(tables, "inst", None) is not None:
+            raise ValueError(
+                "the oracle reads world-space triangle columns; upload the "
+                "scene with instancing=False for oracle comparisons "
+                "(instanced renders are validated against the flattened "
+                "render of the same scene, tests/test_instancing.py)"
+            )
         g = lambda x: np.asarray(x, F)
 
         def gv3(v):  # component V3 -> (K, 3)

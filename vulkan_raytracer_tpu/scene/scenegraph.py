@@ -31,6 +31,8 @@ import numpy as np
 
 from ..accel.bvh import ThreadedBVH, build_bvh, refit_bvh
 from ..accel.grid import UniformGrid, build_grid
+from ..ops.dense import DENSE_MAX_TRIS
+from ..ops.instanced import InstanceGroup, InstanceTables
 from ..ops.math3 import V3
 from ..ops.pallas_bvh import PacketBVH, build_packet_bvh
 from ..ops.texture import TextureAtlas, pack_textures
@@ -39,6 +41,10 @@ from ..utils import logging as log
 from . import gltf as gltf_mod
 
 _LUMA = np.array([0.2126, 0.7152, 0.0722], np.float32)
+
+#: 'auto' instancing threshold: flatten unless the world-space soup would
+#: exceed this AND duplication contributes at least half of it.
+INSTANCE_AUTO_MIN_FLATTENED = 1_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +226,13 @@ class SceneTables:
 
     # bindless texture array (binding 12): flat RGBA8 atlas, zero padding
     tex: "TextureAtlas"
+
+    # TLAS instancing (accelerationstructure.cpp:157-177): None when the
+    # scene is flattened to world space (the fast default); when set, the
+    # triangle columns above hold OBJECT-space prototypes and traversal
+    # routes through ops/instanced.py.  Hit ids are then encoded
+    # instance * num_proto_tris + prototype_triangle.
+    inst: "InstanceTables | None"
 
     # static specialisation flags
     num_point: int = dataclasses.field(metadata=dict(static=True))
@@ -541,7 +554,15 @@ class Scene:
           active traversal path (CPU fallback on >64k scenes); on TPU the
           packet/dense paths never read it, so its rebuild is skipped there.
         Topology (triangle counts, mesh list, materials) must be unchanged.
+
+        Instanced tables refit in O(instances): geometry is shared and
+        object-space, so only the per-instance transforms, world AABBs,
+        emissive world rows, and the emissive BVH refresh — no triangle
+        re-flatten and no BLAS rebuild (the reference's BLAS update is a
+        driver refit of the same buffers, accelerationstructure.cpp:135-136).
         """
+        if tables.inst is not None:
+            return self._refit_instanced(tables)
         v0s, v1s, v2s, n_tris, tg_tris = [], [], [], [], []
         for node in self.iter_depth_first():
             if node.mesh < 0:
@@ -600,8 +621,99 @@ class Scene:
             pbvh=_pack(bvh),
         )
 
-    def upload(self, leaf_size: int = 16) -> SceneTables:
-        """Flatten instances to world space and build all device tables.
+    def _build_material_table(self):
+        """MaterialTable + per-material alpha columns (shared by both
+        upload paths)."""
+        mats = self.materials or [Material()]
+
+        def vcol(rows):  # list of (3,) -> V3 of (M,)
+            a = np.stack(rows).astype(np.float32)
+            return V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+        emissive_np = np.stack([m.emissive_factor for m in mats]).astype(np.float32)
+        mt = MaterialTable(
+            base_colour=vcol([m.base_colour_factor[:3] for m in mats]),
+            base_alpha=jnp.asarray(
+                np.array([m.base_colour_factor[3] for m in mats], np.float32)
+            ),
+            emissive=jnp.asarray(emissive_np),
+            emissive_v=vcol([m.emissive_factor for m in mats]),
+            metallic=jnp.asarray(np.array([m.metallic_factor for m in mats], np.float32)),
+            roughness=jnp.asarray(np.array([m.roughness_factor for m in mats], np.float32)),
+            transmission=jnp.asarray(
+                np.array([m.transmission_factor for m in mats], np.float32)
+            ),
+            thin=jnp.asarray(np.array([m.thickness_factor == 0.0 for m in mats], bool)),
+            attenuation=vcol([m.attenuation_coefficient for m in mats]),
+            ior=jnp.asarray(np.array([m.ior for m in mats], np.float32)),
+            aniso_strength=jnp.asarray(
+                np.array([m.anisotropy_strength for m in mats], np.float32)
+            ),
+            aniso_rotation=jnp.asarray(
+                np.array([m.anisotropy_rotation for m in mats], np.float32)
+            ),
+            dispersion=jnp.asarray(np.array([m.dispersion for m in mats], np.float32)),
+            tex_idx=jnp.asarray(
+                np.array(
+                    [
+                        [
+                            m.base_colour_tex,
+                            m.metallic_roughness_tex,
+                            m.normal_tex,
+                            m.emissive_tex,
+                            m.transmission_tex,
+                            m.anisotropy_tex,
+                        ]
+                        for m in mats
+                    ],
+                    np.int32,
+                )
+            ),
+        )
+        mode_by_mat = np.array([m.alpha_mode for m in mats], np.int32)
+        aval_by_mat = np.array([m.base_colour_factor[3] for m in mats], np.float32)
+        acut_by_mat = np.array([m.alpha_cutoff for m in mats], np.float32)
+        return mt, mode_by_mat, aval_by_mat, acut_by_mat
+
+    def _iter_instances(self):
+        """(node, prim) pairs in DFS preorder — the reference's TLAS
+        instance order (one instance per sceneObject x primitive,
+        accelerationstructure.cpp:157-177)."""
+        for node in self.iter_depth_first():
+            if node.mesh < 0:
+                continue
+            for prim in self.mesh_pool[node.mesh]:
+                yield node, prim
+
+    def _should_instance(self, instancing) -> bool:
+        """Decide flatten vs TLAS instancing.
+
+        Flattening stays the default — a single BVH over world-space
+        triangles is the measured fast shape on a vector machine — but its
+        memory is O(instances x triangles).  'auto' switches to instancing
+        when the flattened soup would be both large in absolute terms and
+        dominated by duplication.  ``VKRT_INSTANCING=0/1`` overrides.
+        """
+        import os
+
+        env = os.environ.get("VKRT_INSTANCING")
+        if env is not None and env != "":
+            return env not in ("0", "false", "no")
+        if instancing in (True, False):
+            return instancing
+        flat = 0
+        unique = 0
+        seen: set[int] = set()
+        for _node, prim in self._iter_instances():
+            nt = prim.indices.shape[0] // 3
+            flat += nt
+            if id(prim) not in seen:
+                seen.add(id(prim))
+                unique += nt
+        return flat > INSTANCE_AUTO_MIN_FLATTENED and flat >= 2 * unique
+
+    def upload(self, leaf_size: int = 16, instancing="auto") -> SceneTables:
+        """Build all device tables (Scene::uploadResources + the AS build).
 
         The analogue of Scene::uploadResources (scene.cpp:281-342) plus the
         AS build (accelerationstructure.cpp:34-229), fused: one pass over
@@ -609,7 +721,378 @@ class Scene:
         (processEmissivePrimitive, scene.cpp:407-459, luminance-area
         heuristic cumulated in DFS order and normalised at the end), and
         both BVHs.
+
+        ``instancing``: False flattens every (node, primitive) instance to
+        world space (the fast default shape); True keeps shared geometry
+        once with per-instance transforms (O(tris + instances) memory,
+        ops/instanced.py); 'auto' flattens unless the duplication is large
+        (:meth:`_should_instance`).
         """
+        if self._should_instance(instancing):
+            return self._upload_instanced(leaf_size)
+        return self._upload_flattened(leaf_size)
+
+    def _refit_instanced(self, tables: SceneTables) -> SceneTables:
+        """O(instances) refit: new transforms + world AABBs + emissive rows."""
+        inst = tables.inst
+        instances = list(self._iter_instances())
+        if len(instances) != inst.num_instances:
+            raise ValueError("refit requires unchanged topology; use upload()")
+        proto_idx, protos, tri_off, proto_aabb, num_proto_tris = (
+            self._proto_registry(instances)
+        )
+        if num_proto_tris != inst.num_proto_tris:
+            raise ValueError("refit requires unchanged topology; use upload()")
+        (
+            inv_rows, nrm_rows, inst_bmin, inst_bmax, members,
+            _em_h, em_tri_ids, em_w,
+        ) = self._instance_pass(instances, proto_idx, tri_off, proto_aabb, num_proto_tris)
+
+        groups = tuple(
+            dataclasses.replace(
+                g,
+                inv=jnp.asarray(inv_rows[np.array(members[p], np.int32)]),
+                aabb_min=jnp.asarray(inst_bmin[np.array(members[p], np.int32)]),
+                aabb_max=jnp.asarray(inst_bmax[np.array(members[p], np.int32)]),
+            )
+            for p, g in enumerate(inst.groups)
+        )
+        new_inst = dataclasses.replace(
+            inst,
+            groups=groups,
+            inv_flat=jnp.asarray(inv_rows.T.copy()),
+            nrm_flat=jnp.asarray(nrm_rows.T.copy()),
+        )
+
+        def vcomp(a):
+            a = np.asarray(a, np.float32)
+            return V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+        if tables.num_emissive_tris > 0:
+            ev0 = np.concatenate([r[0] for r in em_w]).astype(np.float32)
+            ev1 = np.concatenate([r[1] for r in em_w]).astype(np.float32)
+            ev2 = np.concatenate([r[2] for r in em_w]).astype(np.float32)
+            en = np.concatenate([r[3] for r in em_w]).astype(np.float32)
+            # CDF / areas intentionally NOT recomputed (reference update()
+            # parity — built once at upload, scene.cpp:281-342)
+            return dataclasses.replace(
+                tables,
+                inst=new_inst,
+                em_v0=vcomp(ev0),
+                em_v1=vcomp(ev1),
+                em_v2=vcomp(ev2),
+                em_tables=dataclasses.replace(
+                    tables.em_tables,
+                    n0=jnp.asarray(en[:, 0]),
+                    n1=jnp.asarray(en[:, 1]),
+                    n2=jnp.asarray(en[:, 2]),
+                ),
+                ebvh=refit_bvh(tables.ebvh, ev0, ev1, ev2),
+            )
+        return dataclasses.replace(tables, inst=new_inst)
+
+    def _instance_pass(self, instances, proto_idx, tri_off, proto_aabb, num_proto_tris):
+        """One DFS pass over instances: transforms, world AABBs, emissive
+        world rows.  Shared by :meth:`_upload_instanced` and the O(instances)
+        instanced refit."""
+        num_inst = len(instances)
+        inv_rows = np.zeros((num_inst, 12), np.float32)
+        nrm_rows = np.zeros((num_inst, 9), np.float32)
+        inst_bmin = np.zeros((num_inst, 3), np.float32)
+        inst_bmax = np.zeros((num_inst, 3), np.float32)
+        members: list[list[int]] = [[] for _ in proto_aabb]
+        em_heuristic: list[np.ndarray] = []
+        em_tri_ids: list[np.ndarray] = []
+        em_w: list[tuple] = []  # (v0, v1, v2, n, uv, mat) world rows
+        corner_sel = np.array(
+            [[(c >> a) & 1 for a in range(3)] for c in range(8)], np.float32
+        )
+        for gi, (node, prim) in enumerate(instances):
+            w = node.world_transform
+            inv_rows[gi] = np.linalg.inv(w.astype(np.float64))[:3, :].reshape(12)
+            nrm_m = _inv_transpose3(w)
+            nrm_rows[gi] = nrm_m.reshape(9)
+            p = proto_idx[id(prim)]
+            members[p].append(gi)
+            bmin, bmax = proto_aabb[p]
+            corners = bmin + corner_sel * (bmax - bmin)
+            cw = corners @ w[:3, :3].T + w[:3, 3]
+            inst_bmin[gi], inst_bmax[gi] = cw.min(0), cw.max(0)
+
+            mat = self.materials[prim.material]
+            if mat.is_emissive:
+                idx = prim.indices.reshape(-1, 3)
+                pos_w = prim.positions @ w[:3, :3].T + w[:3, 3]
+                nrm_w = prim.normals @ nrm_m.T
+                ev0, ev1, ev2 = (pos_w[idx[:, k]] for k in range(3))
+                area = 0.5 * np.linalg.norm(np.cross(ev1 - ev0, ev2 - ev0), axis=-1)
+                em_heuristic.append(
+                    (area * float(mat.emissive_factor @ _LUMA)).astype(np.float32)
+                )
+                nt = idx.shape[0]
+                enc0 = gi * num_proto_tris + tri_off[p]
+                em_tri_ids.append(np.arange(enc0, enc0 + nt, dtype=np.int32))
+                en = np.stack([nrm_w[idx[:, k]] for k in range(3)], axis=1)
+                euv = np.stack([prim.uvs[idx[:, k]] for k in range(3)], axis=1)
+                em_w.append(
+                    (ev0, ev1, ev2, en, euv.reshape(nt, 6),
+                     np.full(nt, prim.material, np.int32))
+                )
+        return (
+            inv_rows, nrm_rows, inst_bmin, inst_bmax, members,
+            em_heuristic, em_tri_ids, em_w,
+        )
+
+    def _proto_registry(self, instances):
+        """Prototype registry in first-encounter DFS order (matches
+        :meth:`_upload_instanced`'s layout; deterministic for refit)."""
+        proto_idx: dict[int, int] = {}
+        protos: list[Primitive] = []
+        for _n, prim in instances:
+            if id(prim) not in proto_idx:
+                proto_idx[id(prim)] = len(protos)
+                protos.append(prim)
+        tri_off: list[int] = []
+        proto_aabb: list[tuple[np.ndarray, np.ndarray]] = []
+        off = 0
+        for prim in protos:
+            tri_off.append(off)
+            off += prim.indices.shape[0] // 3
+            proto_aabb.append((prim.positions.min(0), prim.positions.max(0)))
+        return proto_idx, protos, tri_off, proto_aabb, off
+
+    def _upload_instanced(self, leaf_size: int = 16) -> SceneTables:
+        """O(tris + instances) upload: object-space prototypes + TLAS.
+
+        The counterpart of the reference's shared-BLAS design
+        (accelerationstructure.cpp:96-177): each unique glTF primitive's
+        triangles are stored ONCE in object space; every (node, primitive)
+        pair becomes a TLAS instance carrying a world->object transform, an
+        inverse-transpose rotation for normals, and a world AABB.  Emissive
+        geometry additionally gets per-instance WORLD-space rows (the
+        emissive set feeds the NEE CDF, whose heuristic is world area,
+        scene.cpp:450-459, and must distinguish instances — this also
+        realises the reference's latent per-instance emissive fix, see the
+        module docstring).  Traversal: ops/instanced.py.
+        """
+        instances = list(self._iter_instances())
+        if not instances:
+            raise ValueError("scene contains no triangles")
+        proto_idx, protos, tri_off, proto_aabb, num_proto_tris = (
+            self._proto_registry(instances)
+        )
+
+        # --- prototype triangle columns (OBJECT space, ops/instanced.py) --
+        v0s, v1s, v2s, n_tris, tg_tris, uv_tris = [], [], [], [], [], []
+        sign_tris, mat_tris = [], []
+        for prim in protos:
+            idx = prim.indices.reshape(-1, 3)
+            pos, nrm = prim.positions, prim.normals
+            tan = prim.tangents
+            v0s.append(pos[idx[:, 0]])
+            v1s.append(pos[idx[:, 1]])
+            v2s.append(pos[idx[:, 2]])
+            n_tris.append(np.stack([nrm[idx[:, k]] for k in range(3)], axis=1))
+            tg_tris.append(
+                np.stack([tan[idx[:, k], :3] for k in range(3)], axis=1)
+            )
+            uv_tris.append(np.stack([prim.uvs[idx[:, k]] for k in range(3)], axis=1))
+            sign_tris.append(tan[idx[:, 0], 3])
+            mat_tris.append(np.full(idx.shape[0], prim.material, np.int32))
+        v0 = np.concatenate(v0s).astype(np.float32)
+        v1 = np.concatenate(v1s).astype(np.float32)
+        v2 = np.concatenate(v2s).astype(np.float32)
+        tri_n = np.concatenate(n_tris).astype(np.float32)
+        tri_tg = np.concatenate(tg_tris).astype(np.float32)
+        tri_uv = np.concatenate(uv_tris).astype(np.float32)
+        tri_sign = np.concatenate(sign_tris).astype(np.float32)
+        tri_mat = np.concatenate(mat_tris)
+
+        num_inst = len(instances)
+        if num_inst * num_proto_tris >= 2**31:
+            raise ValueError(
+                f"instanced id space overflows int32: {num_inst} instances x "
+                f"{num_proto_tris} prototype triangles"
+            )
+
+        # --- per-instance transforms + emissive world rows (DFS order) ---
+        (
+            inv_rows, nrm_rows, inst_bmin, inst_bmax, members,
+            em_heuristic, em_tri_ids, em_w,
+        ) = self._instance_pass(instances, proto_idx, tri_off, proto_aabb, num_proto_tris)
+
+        # --- instance groups (one scan per prototype, ops/instanced.py) ---
+        groups = []
+        for p, prim in enumerate(protos):
+            gl = np.array(members[p], np.int32)
+            cnt = prim.indices.shape[0] // 3
+            blas = None
+            if cnt > DENSE_MAX_TRIS:
+                s, e = tri_off[p], tri_off[p] + cnt
+                blas = build_bvh(v0[s:e], v1[s:e], v2[s:e], leaf_size=leaf_size)
+            groups.append(
+                InstanceGroup(
+                    inv=jnp.asarray(inv_rows[gl]),
+                    aabb_min=jnp.asarray(inst_bmin[gl]),
+                    aabb_max=jnp.asarray(inst_bmax[gl]),
+                    inst_id=jnp.asarray(gl),
+                    blas=blas,
+                    tri_off=tri_off[p],
+                    tri_cnt=cnt,
+                )
+            )
+        inst_tables = InstanceTables(
+            groups=tuple(groups),
+            inv_flat=jnp.asarray(inv_rows.T.copy()),
+            nrm_flat=jnp.asarray(nrm_rows.T.copy()),
+            num_instances=num_inst,
+            num_proto_tris=num_proto_tris,
+        )
+
+        # --- emissive CDF over WORLD-space instance rows ---
+        uv_flat = tri_uv.reshape(tri_uv.shape[0], 6)
+        if em_heuristic:
+            h = np.concatenate(em_heuristic)
+            em_tri = np.concatenate(em_tri_ids)
+            cdf = np.cumsum(h, dtype=np.float64)
+            total = cdf[-1] if cdf[-1] > 0 else 1.0
+            cdf = (cdf / total).astype(np.float32)
+            p_delta = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
+            ev0 = np.concatenate([r[0] for r in em_w]).astype(np.float32)
+            ev1 = np.concatenate([r[1] for r in em_w]).astype(np.float32)
+            ev2 = np.concatenate([r[2] for r in em_w]).astype(np.float32)
+            en = np.concatenate([r[3] for r in em_w]).astype(np.float32)
+            em_uv = np.concatenate([r[4] for r in em_w]).astype(np.float32)
+            em_mat = np.concatenate([r[5] for r in em_w])
+            em_area = 0.5 * np.linalg.norm(
+                np.cross(ev1 - ev0, ev2 - ev0), axis=-1
+            ).astype(np.float32)
+            ebvh = build_bvh(ev0, ev1, ev2, leaf_size=min(leaf_size, 4))
+            em_tables = EmissivePDFTables(
+                p_delta=jnp.asarray(p_delta),
+                area=jnp.asarray(em_area),
+                n0=jnp.asarray(en[:, 0]),
+                n1=jnp.asarray(en[:, 1]),
+                n2=jnp.asarray(en[:, 2]),
+            )
+            num_em = len(em_tri)
+        else:
+            cdf = np.ones(1, np.float32)
+            em_tri = np.zeros(1, np.int32)
+            ev0 = ev1 = ev2 = np.zeros((1, 3), np.float32)
+            em_uv = np.zeros((1, 6), np.float32)
+            em_mat = np.zeros(1, np.int32)
+            ebvh = build_bvh(ev0, ev1, ev2, leaf_size=4)
+            em_tables = EmissivePDFTables(
+                p_delta=jnp.zeros(1),
+                area=jnp.ones(1),
+                n0=jnp.ones((1, 3)),
+                n1=jnp.ones((1, 3)),
+                n2=jnp.ones((1, 3)),
+            )
+            num_em = 0
+
+        # --- shared tables ---
+        mt, mode_by_mat, aval_by_mat, acut_by_mat = self._build_material_table()
+        alpha = AlphaTables(
+            mode=jnp.asarray(mode_by_mat[tri_mat]),
+            value=jnp.asarray(aval_by_mat[tri_mat]),
+            cutoff=jnp.asarray(acut_by_mat[tri_mat]),
+        )
+        has_alpha = bool((mode_by_mat[tri_mat] != 0).any())
+        has_blend = bool((mode_by_mat[tri_mat] == 2).any())
+
+        # flattened structures are never traversed on the instanced path
+        # (integrator gates on tables.inst first); tiny placeholders keep
+        # the pytree total O(tris + instances)
+        dummy = (np.zeros((1, 3), np.float32),) * 3
+        bvh = build_bvh(*dummy, leaf_size=4)
+        grid = build_grid(
+            np.array([[0, 0, 0]], np.float32),
+            np.array([[1e-3, 0, 0]], np.float32),
+            np.array([[0, 1e-3, 0]], np.float32),
+        )
+
+        def vcomp(a):
+            a = np.asarray(a, np.float32)
+            return V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+        def light_cols(rows, default):
+            return (
+                np.stack(rows).astype(np.float32)
+                if rows
+                else np.zeros((1, len(default)), np.float32)
+            )
+
+        pls, dls = self.point_lights, self.directional_lights
+        skybox = (
+            self.skybox if self.skybox is not None else np.zeros((1, 1, 3), np.float32)
+        )
+        log.info(
+            "Uploaded scene (instanced): %d prototype tris x %d instances "
+            "(%d prototypes), %d emissive tris",
+            num_proto_tris,
+            num_inst,
+            len(protos),
+            num_em,
+        )
+        return SceneTables(
+            v0=vcomp(v0),
+            v1=vcomp(v1),
+            v2=vcomp(v2),
+            n0=vcomp(tri_n[:, 0]),
+            n1=vcomp(tri_n[:, 1]),
+            n2=vcomp(tri_n[:, 2]),
+            tg0=vcomp(tri_tg[:, 0]),
+            tg1=vcomp(tri_tg[:, 1]),
+            tg2=vcomp(tri_tg[:, 2]),
+            tg_sign=jnp.asarray(tri_sign),
+            uv=jnp.asarray(uv_flat),
+            tri_mat=jnp.asarray(tri_mat),
+            materials=mt,
+            alpha=alpha,
+            pl_pos=vcomp(light_cols([l.position for l in pls], (0, 0, 0))),
+            pl_colour=vcomp(light_cols([l.colour for l in pls], (0, 0, 0))),
+            pl_intensity=jnp.asarray(
+                np.array([l.intensity for l in pls], np.float32)
+                if pls else np.zeros(1, np.float32)
+            ),
+            pl_range=jnp.asarray(
+                np.array([l.range for l in pls], np.float32)
+                if pls else np.zeros(1, np.float32)
+            ),
+            dl_dir=vcomp(light_cols([l.direction for l in dls], (0, 0, 0))),
+            dl_colour=vcomp(light_cols([l.colour for l in dls], (0, 0, 0))),
+            dl_intensity=jnp.asarray(
+                np.array([l.intensity for l in dls], np.float32)
+                if dls else np.zeros(1, np.float32)
+            ),
+            em_cdf=jnp.asarray(cdf),
+            em_tables=em_tables,
+            em_tri=jnp.asarray(em_tri),
+            em_v0=vcomp(ev0),
+            em_v1=vcomp(ev1),
+            em_v2=vcomp(ev2),
+            em_uv=jnp.asarray(em_uv),
+            em_mat=jnp.asarray(em_mat),
+            bvh=bvh,
+            ebvh=ebvh,
+            grid=grid,
+            pbvh=build_packet_bvh(bvh),
+            skybox=jnp.asarray(skybox),
+            skybox_strength=jnp.float32(self.skybox_strength),
+            tex=pack_textures(self.textures),
+            inst=inst_tables,
+            num_point=len(pls),
+            num_directional=len(dls),
+            num_emissive_tris=num_em,
+            has_alpha=has_alpha,
+            has_blend=has_blend,
+            has_textures=bool(self.textures),
+        )
+
+    def _upload_flattened(self, leaf_size: int = 16) -> SceneTables:
+        """World-space flattening upload (the round-1/2 design; fast path)."""
         v0s, v1s, v2s = [], [], []
         n_tris, tg_tris, uv_tris = [], [], []
         sign_tris, mat_tris = [], []
@@ -665,56 +1148,7 @@ class Scene:
         tri_sign = np.concatenate(sign_tris).astype(np.float32)
         tri_mat = np.concatenate(mat_tris)
 
-        mats = self.materials or [Material()]
-
-        def vcol(rows):  # list of (3,) -> V3 of (M,)
-            a = np.stack(rows).astype(np.float32)
-            return V3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
-
-        emissive_np = np.stack([m.emissive_factor for m in mats]).astype(np.float32)
-        mt = MaterialTable(
-            base_colour=vcol([m.base_colour_factor[:3] for m in mats]),
-            base_alpha=jnp.asarray(
-                np.array([m.base_colour_factor[3] for m in mats], np.float32)
-            ),
-            emissive=jnp.asarray(emissive_np),
-            emissive_v=vcol([m.emissive_factor for m in mats]),
-            metallic=jnp.asarray(np.array([m.metallic_factor for m in mats], np.float32)),
-            roughness=jnp.asarray(np.array([m.roughness_factor for m in mats], np.float32)),
-            transmission=jnp.asarray(
-                np.array([m.transmission_factor for m in mats], np.float32)
-            ),
-            thin=jnp.asarray(np.array([m.thickness_factor == 0.0 for m in mats], bool)),
-            attenuation=vcol([m.attenuation_coefficient for m in mats]),
-            ior=jnp.asarray(np.array([m.ior for m in mats], np.float32)),
-            aniso_strength=jnp.asarray(
-                np.array([m.anisotropy_strength for m in mats], np.float32)
-            ),
-            aniso_rotation=jnp.asarray(
-                np.array([m.anisotropy_rotation for m in mats], np.float32)
-            ),
-            dispersion=jnp.asarray(np.array([m.dispersion for m in mats], np.float32)),
-            tex_idx=jnp.asarray(
-                np.array(
-                    [
-                        [
-                            m.base_colour_tex,
-                            m.metallic_roughness_tex,
-                            m.normal_tex,
-                            m.emissive_tex,
-                            m.transmission_tex,
-                            m.anisotropy_tex,
-                        ]
-                        for m in mats
-                    ],
-                    np.int32,
-                )
-            ),
-        )
-
-        mode_by_mat = np.array([m.alpha_mode for m in mats], np.int32)
-        aval_by_mat = np.array([m.base_colour_factor[3] for m in mats], np.float32)
-        acut_by_mat = np.array([m.alpha_cutoff for m in mats], np.float32)
+        mt, mode_by_mat, aval_by_mat, acut_by_mat = self._build_material_table()
         alpha = AlphaTables(
             mode=jnp.asarray(mode_by_mat[tri_mat]),
             value=jnp.asarray(aval_by_mat[tri_mat]),
@@ -804,7 +1238,7 @@ class Scene:
             "Uploaded scene: %d tris, %d materials, %d point + %d directional lights, "
             "%d emissive tris, BVH %d nodes",
             tri_base,
-            len(mats),
+            max(len(self.materials), 1),
             len(pls),
             len(dls),
             num_em,
@@ -850,6 +1284,7 @@ class Scene:
             skybox=jnp.asarray(skybox),
             skybox_strength=jnp.float32(self.skybox_strength),
             tex=tex_atlas,
+            inst=None,
             num_point=len(pls),
             num_directional=len(dls),
             num_emissive_tris=num_em,
