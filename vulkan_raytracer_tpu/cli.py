@@ -343,7 +343,7 @@ def _render_fingerprint(tables, camera, width, height, depth, nee) -> str:
     h.update(np.int64(tables.num_emissive_tris).tobytes())
     if tables.num_emissive_tris:
         h.update(np.float64(np.asarray(tables.em_cdf).sum(dtype=np.float64)).tobytes())
-    h.update(np.asarray(tables.skybox.shape, np.int64).tobytes())
+    h.update(np.asarray((tables.skybox.h, tables.skybox.w), np.int64).tobytes())
     h.update(np.float64(np.asarray(tables.skybox_strength)).tobytes())
     return h.hexdigest()
 

@@ -134,7 +134,39 @@ def sample_bilinear(atlas: TextureAtlas, tex_idx, uv):
     return top * (1.0 - fy) + bot * fy
 
 
-def sample_equirect(env, direction):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnvMap:
+    """Equirect HDR environment as flat float32 component columns.
+
+    The skybox is HDR (Radiance RGBE source, main.cpp:138) so it keeps
+    float32 texels — but row-major FLAT columns with static dims, so the
+    four bilinear corner fetches are plain 1-D gathers (a 2-index fetch
+    into (H, W, 3) is the multi-dim-gather slow path, docs/DESIGN.md §3).
+    """
+
+    r: jax.Array  # (H*W,) f32
+    g: jax.Array
+    b: jax.Array
+    h: int = dataclasses.field(metadata=dict(static=True))
+    w: int = dataclasses.field(metadata=dict(static=True))
+
+
+def pack_envmap(env) -> EnvMap:
+    """(H, W, 3) float32 numpy -> flat EnvMap columns (host side)."""
+    env = np.asarray(env, np.float32)
+    h, w = env.shape[0], env.shape[1]
+    flat = env.reshape(h * w, 3)
+    return EnvMap(
+        r=jnp.asarray(flat[:, 0].copy()),
+        g=jnp.asarray(flat[:, 1].copy()),
+        b=jnp.asarray(flat[:, 2].copy()),
+        h=h,
+        w=w,
+    )
+
+
+def sample_equirect(env: EnvMap, direction):
     """Equirectangular environment lookup (shaders/skybox.rmiss:17-29).
 
     Replicates the reference exactly: uv = (atan2(z, x)/2pi + 0.5,
@@ -142,9 +174,9 @@ def sample_equirect(env, direction):
     ``direction`` may be non-unit (the reference passes the raw ray
     direction); asin input is clamped for NaN safety.
 
-    Args: env (H, W, 3); direction (N, 3).  Returns (N, 3).
+    Args: env EnvMap; direction (N, 3).  Returns (N, 3).
     """
-    h, w = env.shape[0], env.shape[1]
+    h, w = env.h, env.w
     u = jnp.arctan2(direction[:, 2], direction[:, 0]) * TWOPIINV + 0.5
     v = -(jnp.arcsin(jnp.clip(direction[:, 1], -1.0, 1.0)) * PIINV + 0.5)
     x = u * w - 0.5
@@ -157,10 +189,22 @@ def sample_equirect(env, direction):
     x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
     y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
-    c00 = env[y0i, x0i]
-    c01 = env[y0i, x1i]
-    c10 = env[y1i, x0i]
-    c11 = env[y1i, x1i]
+
+    def fetch(yy, xx):
+        idx = yy * w + xx
+        return jnp.stack(
+            [
+                jnp.take(env.r, idx, axis=0),
+                jnp.take(env.g, idx, axis=0),
+                jnp.take(env.b, idx, axis=0),
+            ],
+            axis=-1,
+        )
+
+    c00 = fetch(y0i, x0i)
+    c01 = fetch(y0i, x1i)
+    c10 = fetch(y1i, x0i)
+    c11 = fetch(y1i, x1i)
     top = c00 * (1.0 - fx) + c01 * fx
     bot = c10 * (1.0 - fx) + c11 * fx
     return top * (1.0 - fy) + bot * fy

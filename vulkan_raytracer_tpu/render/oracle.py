@@ -138,7 +138,10 @@ class OracleScene:
         self.pl_intensity, self.pl_range = g(tables.pl_intensity), g(tables.pl_range)
         self.dl_dir, self.dl_colour = gv3(tables.dl_dir), gv3(tables.dl_colour)
         self.dl_intensity = g(tables.dl_intensity)
-        self.skybox = g(tables.skybox)
+        sb = tables.skybox  # flat EnvMap -> (H, W, 3)
+        self.skybox = np.stack([g(sb.r), g(sb.g), g(sb.b)], axis=-1).reshape(
+            sb.h, sb.w, 3
+        )
         self.skybox_strength = F(np.asarray(tables.skybox_strength))
         # textures + tangent frames (hit.rchit:46,59-71; texture.glsl)
         self.has_textures = tables.has_textures

@@ -35,7 +35,7 @@ from ..ops.dense import DENSE_MAX_TRIS
 from ..ops.instanced import InstanceGroup, InstanceTables
 from ..ops.math3 import V3
 from ..ops.pallas_bvh import PacketBVH, build_packet_bvh
-from ..ops.texture import TextureAtlas, pack_textures
+from ..ops.texture import EnvMap, TextureAtlas, pack_envmap, pack_textures
 from ..ops.traverse import AlphaTables, EmissivePDFTables
 from ..utils import logging as log
 from . import gltf as gltf_mod
@@ -221,7 +221,7 @@ class SceneTables:
     pbvh: PacketBVH  # stream-layout BVH for the Pallas packet kernel
 
     # environment (binding 11)
-    skybox: jax.Array  # (H, W, 3) f32 equirect
+    skybox: "EnvMap"  # flat equirect HDR columns, static dims
     skybox_strength: jax.Array  # () f32
 
     # bindless texture array (binding 12): flat RGBA8 atlas, zero padding
@@ -1079,7 +1079,7 @@ class Scene:
             ebvh=ebvh,
             grid=grid,
             pbvh=build_packet_bvh(bvh),
-            skybox=jnp.asarray(skybox),
+            skybox=pack_envmap(skybox),
             skybox_strength=jnp.float32(self.skybox_strength),
             tex=pack_textures(self.textures),
             inst=inst_tables,
@@ -1281,7 +1281,7 @@ class Scene:
             ebvh=ebvh,
             grid=grid,
             pbvh=build_packet_bvh(bvh),
-            skybox=jnp.asarray(skybox),
+            skybox=pack_envmap(skybox),
             skybox_strength=jnp.float32(self.skybox_strength),
             tex=tex_atlas,
             inst=None,
