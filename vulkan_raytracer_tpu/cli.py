@@ -269,11 +269,19 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if args.shard:
-        from .parallel.sharding import make_mesh, render_image_sharded
+        # fleet entry point: single-process this is exactly the sharded
+        # ICI path; under multi-host SPMD it broadcasts host-0's scene
+        # over DCN and gathers bands cross-host (parallel/multihost.py)
+        from .parallel.multihost import (
+            broadcast_scene_tables,
+            make_fleet_mesh,
+            render_image_multihost,
+        )
 
-        mean_new, rays = render_image_sharded(
+        tables = broadcast_scene_tables(tables)
+        mean_new, rays = render_image_multihost(
             tables, camera, width, height, args.spp, args.max_ray_depth,
-            make_mesh(), start_sample=start_sample, tonemap=False,
+            make_fleet_mesh(), start_sample=start_sample, tonemap=False,
             nee_weighting=args.nee_weighting,
         )
     else:

@@ -110,7 +110,7 @@ def _render_band_sharded(
 
 def render_image_sharded(
     tables, camera, width, height, spp, max_depth, mesh: Mesh, start_sample: int = 1,
-    tonemap: bool = True, nee_weighting: str = "reference",
+    tonemap: bool = True, nee_weighting: str = "reference", gather=None,
 ):
     """Headless multi-chip render; same contract as render.renderer.render_image.
 
@@ -125,6 +125,13 @@ def render_image_sharded(
 
     from ..render.integrator import _block_order
     from ..render.renderer import MAX_LANES_PER_PASS, camera_uniforms
+
+    # ``gather`` pulls a lane-sharded device array to a full host copy.
+    # device_get suffices single-process; multi-host passes a DCN
+    # allgather (parallel/multihost.py) since remote shards are not
+    # addressable here.
+    if gather is None:
+        gather = jax.device_get
 
     camera.aspect = width / height
     view_inv, proj_inv = camera_uniforms(camera)
@@ -168,10 +175,12 @@ def render_image_sharded(
                 nee_weighting=nee_weighting,
             )
             acc_sw[:, b * bper : (b + 1) * bper] += np.asarray(
-                jax.device_get(radiance)
+                gather(radiance)
             ).reshape(n_dev, bper, 3)
+            # out_specs P() replicates the psum'd counter onto every
+            # device, so shard 0 is the global value on any process
             total_rays = total_rays + np.asarray(
-                jax.device_get(rays), np.int64
+                rays.addressable_data(0), np.int64
             ).sum()
             done += c
 
