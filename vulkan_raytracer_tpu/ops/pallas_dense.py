@@ -162,10 +162,16 @@ def _shadow_kernel(tri_ref, ox, oy, oz, dx, dy, dz, t0_ref, occout,
             & (tt > 0.0)
             & (tt <= t_hi)
         )
-        return occ | hit
+        # i32 carry, not bool: Mosaic cannot legalize an i1 memref carry
+        # through the scf.for the >64-tri fold lowers to (fails on real
+        # TPU with "failed to legalize operation 'scf.for'"; interpret
+        # mode accepts it, which is why only hardware caught this)
+        return occ | hit.astype(jnp.int32)
 
-    occ = _unrolled_fold(n_pad, step)(jnp.zeros((_BLOCK_S, _TILE_L), bool))
-    occout[:] = occ.astype(jnp.int32)
+    occ = _unrolled_fold(n_pad, step)(
+        jnp.zeros((_BLOCK_S, _TILE_L), jnp.int32)
+    )
+    occout[:] = occ
 
 
 def _pad_cols(x, mult):
