@@ -253,3 +253,22 @@ def test_instanced_big_prototype_blas_branch(monkeypatch):
     b, _ = render_image(ti, _cam(), 24, 24, spp=2, max_depth=2, tonemap=False)
     assert a.mean() > 1e-3
     assert _rmse(a, b) < RMSE_BAR
+
+
+def test_instanced_big_prototype_packet_blas(monkeypatch):
+    """On TPU the big-prototype BLAS walk rides the Pallas beam kernel
+    (ops/instanced.py packet branch); driven here in interpret mode and
+    pinned against the flattened renderer like the threaded branch."""
+    from vulkan_raytracer_tpu.scene import scenegraph as sg
+
+    s = _instanced_scene(n_soup_instances=4)
+    tf = s.upload(instancing=False)
+    monkeypatch.setattr(sg, "DENSE_MAX_TRIS", 50)  # soup prototype: 120 tris
+    ti = s.upload(instancing=True)
+    assert ti.inst.groups[0].pblas is not None
+    assert ti.inst.groups[1].pblas is None
+    monkeypatch.setenv("VKRT_PALLAS_INTERPRET", "1")
+    a, _ = render_image(tf, _cam(), 16, 16, spp=2, max_depth=2, tonemap=False)
+    b, _ = render_image(ti, _cam(), 16, 16, spp=2, max_depth=2, tonemap=False)
+    assert a.mean() > 1e-3
+    assert _rmse(a, b) < RMSE_BAR

@@ -28,6 +28,8 @@ per-intersection RNG ordering and routes through the BVH path instead.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -39,8 +41,9 @@ from .math3 import v3_gather
 #: DDA grid (gather latency) up to at least 50k triangles (70ms vs 405ms vs
 #: 1.3s per 16k-ray trace on the 50k soup).  Divergence-free wavefront
 #: binning / a Pallas megakernel is the planned successor for Sponza-class
-#: scenes.
-DENSE_MAX_TRIS = 65536
+#: scenes.  VKRT_DENSE_MAX overrides the measured default (workload tuning
+#: and driving the BVH/packet branches on small scenes).
+DENSE_MAX_TRIS = int(os.environ.get("VKRT_DENSE_MAX", 65536))
 
 #: Triangle rows per fold step (multiple of the 8-sublane tile height).
 CHUNK = 64

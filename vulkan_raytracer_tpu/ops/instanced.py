@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from .dense import CHUNK, _BIG, _mt_chunk, _pad_to, _slice_rows
 from .intersect import ray_aabb, safe_inv_dir
 from .math3 import V3, v3_gather
+from .pallas_bvh import packet_backend_ok, packet_closest_pb, packet_shadow_pb
 from .traverse import trace_closest, trace_shadow
 
 
@@ -54,6 +55,9 @@ class InstanceGroup:
     #: ThreadedBVH over the prototype's OBJECT-space triangles when
     #: tri_cnt > DENSE_MAX_TRIS, else None (dense fold path)
     blas: object
+    #: PacketBVH stream layout of the same BLAS — the Pallas beam kernel
+    #: walks it on TPU (the big-prototype fast path); None when dense
+    pblas: object
     tri_off: int = dataclasses.field(metadata=dict(static=True))
     tri_cnt: int = dataclasses.field(metadata=dict(static=True))
 
@@ -197,6 +201,18 @@ def instanced_closest(tables, o: V3, d: V3, *, t_min, t_max, active):
                         jnp.where(touches, t_c, 0.0), jnp.full((n,), -1, jnp.int32),
                     )
                     hit_new = (lt >= 0) & (lt < g.tri_cnt)
+                elif g.pblas is not None and packet_backend_ok():
+                    # big-prototype fast path: beam sweep in object space;
+                    # the running world-t bound carries over (affine maps
+                    # preserve the ray parameter)
+                    t_n, lt = packet_closest_pb(
+                        g.pblas, o2, d2,
+                        t_lo=jnp.broadcast_to(
+                            jnp.asarray(t_min, jnp.float32), (n,)
+                        ),
+                        t_init0=jnp.where(touches, t_c, -1.0),
+                    )
+                    hit_new = lt >= 0
                 else:
                     (t_n, lt, _, _), _ = trace_closest(
                         g.blas, o2.to_array(), d2.to_array(),
@@ -283,6 +299,11 @@ def instanced_shadow(tables, o: V3, d: V3, *, t_max, active):
 
                     z = jnp.zeros((n,), bool)
                     hit = fold(0, z) if nc == 1 else jax.lax.fori_loop(0, nc, fold, z)
+                elif g.pblas is not None and packet_backend_ok():
+                    hit = packet_shadow_pb(
+                        g.pblas, o2, d2,
+                        t_init0=jnp.where(touches, t_bound, -1.0),
+                    )
                 else:
                     hit, _ = trace_shadow(
                         g.blas, o2.to_array(), d2.to_array(),

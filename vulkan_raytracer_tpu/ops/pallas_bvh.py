@@ -572,11 +572,15 @@ def _packet_sweep(
     )(bounds, octs, lims, nodes_f, nodes_i, leaves, *rays, t_lo, t_init)
 
 
-def packet_ok(tables) -> bool:
-    on_tpu = jax.default_backend() in ("tpu",) or bool(
+def packet_backend_ok() -> bool:
+    """The packet kernel runs on TPU (or interpret mode for CI)."""
+    return jax.default_backend() in ("tpu",) or bool(
         os.environ.get("VKRT_PALLAS_INTERPRET")
     )
-    return on_tpu and tables.pbvh is not None
+
+
+def packet_ok(tables) -> bool:
+    return packet_backend_ok() and tables.pbvh is not None
 
 
 def _prep_rays(o, d, t_init_flat):
@@ -907,6 +911,21 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
         t_best, tri = out[0], out[1]
         return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
 
+    t_best, tri = packet_closest_pb(pb, o, d, t_lo=t_lo, t_init0=t_init0)
+    return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
+
+
+def packet_closest_pb(pb: PacketBVH, o, d, *, t_lo, t_init0):
+    """Closest hit over a bare PacketBVH: (t_best, tri) with ids local to
+    ``pb``'s triangle range and no (u, v) recompute.
+
+    The building block both the scene-level entry (:func:`packet_closest`)
+    and the instanced BLAS walk (ops/instanced.py) share: the latter calls
+    it per instance group with object-space rays, where triangle ids must
+    stay prototype-local for (instance, tri) encoding.  ``t_init0`` is the
+    per-lane upper bound with -1 marking dead lanes.
+    """
+    n = o.x.shape[0]
     rays, t_init, _ = _prep_rays(o, d, t_init0)
     t_lo_p = jnp.pad(t_lo, (0, t_init.size - n)).reshape(t_init.shape)
     bounds, octs = _tile_beam_bounds(rays, t_init)
@@ -924,7 +943,7 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
     t_best = t_best.reshape(-1)[:n]
     slot = slot.reshape(-1)[:n]
     tri, found = _slot_to_tri(pb, octs, slot, n)
-    return _winner_uv(tables, o, d, found, t_best, tri)
+    return jnp.where(found, t_best, jnp.inf), tri
 
 
 def packet_shadow(tables, o, d, *, t_max, active):
@@ -940,6 +959,14 @@ def packet_shadow(tables, o, d, *, t_max, active):
         )
         return (out[1] >= 0) & active
 
+    return packet_shadow_pb(pb, o, d, t_init0=t_init0) & active
+
+
+def packet_shadow_pb(pb: PacketBVH, o, d, *, t_init0):
+    """First-hit occlusion over a bare PacketBVH (tMin = 0); dead lanes
+    (``t_init0 < 0``) report unoccluded.  Shared by the scene-level entry
+    and the instanced BLAS walk."""
+    n = o.x.shape[0]
     rays, t_init, _ = _prep_rays(o, d, t_init0)
     t_lo = jnp.zeros_like(t_init)
     bounds, octs = _tile_beam_bounds(rays, t_init)
@@ -955,4 +982,4 @@ def packet_shadow(tables, o, d, *, t_max, active):
         True,
     )
     slot = slot.reshape(-1)[:n]
-    return (slot >= 0) & active
+    return slot >= 0

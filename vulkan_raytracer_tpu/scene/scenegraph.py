@@ -927,9 +927,13 @@ class Scene:
             gl = np.array(members[p], np.int32)
             cnt = prim.indices.shape[0] // 3
             blas = None
+            pblas = None
             if cnt > DENSE_MAX_TRIS:
                 s, e = tri_off[p], tri_off[p] + cnt
                 blas = build_bvh(v0[s:e], v1[s:e], v2[s:e], leaf_size=leaf_size)
+                # stream layout for the Pallas beam walk on TPU; the
+                # threaded form stays the CPU/fallback path
+                pblas = build_packet_bvh(blas)
             groups.append(
                 InstanceGroup(
                     inv=jnp.asarray(inv_rows[gl]),
@@ -937,6 +941,7 @@ class Scene:
                     aabb_max=jnp.asarray(inst_bmax[gl]),
                     inst_id=jnp.asarray(gl),
                     blas=blas,
+                    pblas=pblas,
                     tri_off=tri_off[p],
                     tri_cnt=cnt,
                 )
