@@ -293,3 +293,34 @@ def test_hdr_output_shares_the_png_accumulation(tmp_path):
     mean = acc["acc"] / np.float32(int(acc["next_sample"]) - 1)
     # Radiance shared-exponent encoding quantises to ~1% relative
     assert np.allclose(hdr, mean.reshape(hdr.shape), rtol=0.02, atol=1e-3)
+
+
+def test_sample_equirect_matches_numpy_oracle():
+    """Flat-column EnvMap bilinear fetch == direct (H, W, 3) indexing
+    (skybox.rmiss:17-29 mapping incl. the negative-v wrap)."""
+    import jax.numpy as jnp
+
+    from vulkan_raytracer_tpu.ops.texture import pack_envmap, sample_equirect
+
+    rng = np.random.default_rng(11)
+    env = rng.uniform(0.0, 4.0, (17, 31, 3)).astype(np.float32)
+    d = rng.normal(size=(257, 3)).astype(np.float32)  # non-unit on purpose
+    got = np.asarray(sample_equirect(pack_envmap(env), jnp.asarray(d)))
+
+    h, w = env.shape[:2]
+    u = np.arctan2(d[:, 2], d[:, 0]) / (2 * np.pi) + 0.5
+    v = -(np.arcsin(np.clip(d[:, 1], -1.0, 1.0)) / np.pi + 0.5)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = np.mod(x0.astype(np.int64), w)
+    x1i = np.mod(x0.astype(np.int64) + 1, w)
+    y0i = np.mod(y0.astype(np.int64), h)
+    y1i = np.mod(y0.astype(np.int64) + 1, h)
+    top = env[y0i, x0i] * (1 - fx) + env[y0i, x1i] * fx
+    bot = env[y1i, x0i] * (1 - fx) + env[y1i, x1i] * fx
+    want = top * (1 - fy) + bot * fy
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)

@@ -22,6 +22,17 @@ from pathlib import Path
 
 import numpy as np
 
+# Some TPU plugins force-select their platform via config.update at
+# interpreter startup, trampling a user-provided JAX_PLATFORMS env var
+# (e.g. JAX_PLATFORMS=cpu for a host-only render).  Re-assert the user's
+# explicit choice before any backend initialises — same guard as
+# tests/conftest.py and __graft_entry__.py.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
 from .scene.builtin import cornell_box_scene, glass_sphere_scene, triangle_soup_scene
 from .scene.procedural import chess_scene, dragon_scene, hall_scene
 from .scene.camera import Camera
