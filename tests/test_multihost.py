@@ -1,7 +1,8 @@
 """Multi-host layer (parallel/multihost.py) on the single-process mesh.
 
-A real DCN fleet cannot run under pytest; these tests pin the
-single-process contracts the multi-host path is built from — broadcast
+These tests pin the single-process contracts the multi-host path is
+built from (tests/test_multihost_2proc.py forms a REAL two-process
+fleet over localhost on top of them) — broadcast
 is the identity on one process, the fleet mesh covers every device, and
 the multihost render is exactly the sharded render (gather hook
 included) — plus drive the ``gather`` override through the banded path

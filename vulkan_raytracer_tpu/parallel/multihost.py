@@ -25,7 +25,11 @@ adds the two pieces that only exist across hosts:
 
 Single-process (tests, the 8-virtual-device CPU mesh) both APIs reduce
 to the degenerate one-host case and stay exactly equivalent to the
-single-host path, which is what ``tests/test_multihost.py`` pins.
+single-host path, which is what ``tests/test_multihost.py`` pins;
+``tests/test_multihost_2proc.py`` then forms a real two-process
+``jax.distributed`` fleet over localhost and proves the broadcast
+repairs deliberately-diverged host tables and the cross-process gather
+assembles the single-process image bit-for-bit.
 """
 
 from __future__ import annotations
