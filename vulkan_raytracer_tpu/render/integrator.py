@@ -215,8 +215,57 @@ def _closest(tables, o: V3, d: V3, *, t_min, t_max, active, seed):
     return (out["t"], out["tri"], out["u"], out["v"]), out["seed"]
 
 
+def _beam_occlusion(tables) -> bool:
+    """Does the occlusion launch walk a shared-beam packet kernel?
+
+    True for packet-preferred scenes and for instanced scenes whose BLAS
+    walks ride the Pallas beam kernel (any group with a packet stream).
+    Dense/SMEM/grid occlusion sweeps are per-lane and order-insensitive.
+    """
+    if _packet_preferred(tables):
+        return True
+    return tables.inst is not None and any(
+        g.pblas is not None for g in tables.inst.groups
+    )
+
+
 def _shadow(tables, o: V3, d: V3, *, t_max, active, seed):
-    """Occlusion query with shadow.rahit alpha semantics (tMin = 0)."""
+    """Occlusion query with shadow.rahit alpha semantics (tMin = 0).
+
+    Beam-walked scenes re-sort lanes by the occlusion ray's OWN
+    coherence key first: the wavefront arrives sorted for the *material*
+    ray directions (``_sort_wavefront`` at the top of the bounce), but
+    NEE rays point at sampled lights, so packet tiles straddle direction
+    octants and their beam 1/d intervals blow up — the merged NEE launch
+    measured 2.7x slower than the same rays sorted by their own
+    (octant, origin-Morton) key on the 256k-tri hall wave (1166 ms vs
+    428 ms per 262k-lane bounce; tools/sim_path_prediction.py fallout).
+    Occlusion flags and per-lane RNG streams travel with the lane, so
+    the permutation is estimator-invariant.  ``VKRT_NO_SHADOW_SORT=1``
+    disables (A/B).
+    """
+    if _beam_occlusion(tables) and not os.environ.get("VKRT_NO_SHADOW_SORT"):
+        n = o.x.shape[0]
+        t_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        perm = jnp.argsort(_coherence_key(tables, o, d, ~active))
+
+        def g(x):
+            return jnp.take(x, perm, axis=0)
+
+        occ_p, seed_p = _shadow_unsorted(
+            tables,
+            V3(g(o.x), g(o.y), g(o.z)),
+            V3(g(d.x), g(d.y), g(d.z)),
+            t_max=g(t_b),
+            active=g(active),
+            seed=g(seed),
+        )
+        occ = jnp.zeros((n,), bool).at[perm].set(occ_p)
+        return occ, jnp.zeros_like(seed).at[perm].set(seed_p)
+    return _shadow_unsorted(tables, o, d, t_max=t_max, active=active, seed=seed)
+
+
+def _shadow_unsorted(tables, o: V3, d: V3, *, t_max, active, seed):
     if not tables.has_alpha:
         if tables.inst is not None:
             return instanced_shadow(tables, o, d, t_max=t_max, active=active), seed
@@ -262,17 +311,15 @@ def _morton6(x):
     return out
 
 
-def _sort_wavefront(tables, s):
-    """Re-pack the wavefront for packet coherence (SURVEY §7 item 5).
+def _coherence_key(tables, o: V3, d: V3, dead):
+    """(dead, direction octant, Morton cell of origin) packet-beam key.
 
-    Sort lanes by (dead, direction octant, Morton cell of origin): dead
-    lanes cluster into tiles the packet kernel exits in O(depth); live
-    lanes form tiles with a uniform direction octant (bounded beam
-    reciprocal intervals) and spatial origin locality.  Costs one 32-bit
-    argsort + ~17 flat gathers per bounce — measured noise next to a single
-    incoherent packet trace.  Lane identity travels in s["slot"].
+    Dead lanes cluster into tiles the packet kernel exits in O(depth);
+    live lanes form tiles with a uniform direction octant (bounded beam
+    reciprocal intervals — a tile whose directions straddle a sign has a
+    near-unbounded 1/d interval and visits most of the tree) and spatial
+    origin locality.
     """
-    o, d = s["origin"], s["direction"]
     root_lo = tables.bvh.aabb_min[0]
     root_hi = tables.bvh.aabb_max[0]
     scale = 64.0 / jnp.maximum(root_hi - root_lo, 1e-20)
@@ -287,8 +334,17 @@ def _sort_wavefront(tables, s):
         + (d.y < 0).astype(jnp.uint32) * 2
         + (d.z < 0).astype(jnp.uint32)
     )
-    dead = (~s["active"]).astype(jnp.uint32)
-    key = (dead << 30) | (octant << 27) | (morton << 9)
+    return (dead.astype(jnp.uint32) << 30) | (octant << 27) | (morton << 9)
+
+
+def _sort_wavefront(tables, s):
+    """Re-pack the wavefront for packet coherence (SURVEY §7 item 5).
+
+    Sort lanes by :func:`_coherence_key`.  Costs one 32-bit argsort +
+    ~17 flat gathers per bounce — measured noise next to a single
+    incoherent packet trace.  Lane identity travels in s["slot"].
+    """
+    key = _coherence_key(tables, s["origin"], s["direction"], ~s["active"])
     perm = jnp.argsort(key)
 
     def g(x):
