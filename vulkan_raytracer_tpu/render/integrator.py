@@ -29,6 +29,7 @@ Algorithmic parity notes (faithful to the reference, quirks included):
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -320,8 +321,18 @@ def _coherence_key(tables, o: V3, d: V3, dead):
     near-unbounded 1/d interval and visits most of the tree) and spatial
     origin locality.
     """
-    root_lo = tables.bvh.aabb_min[0]
-    root_hi = tables.bvh.aabb_max[0]
+    if tables.inst is not None:
+        # instanced tables carry a placeholder flattened BVH; take the
+        # world bounds from the instance AABBs instead (fused reductions)
+        root_lo = functools.reduce(
+            jnp.minimum, [g.aabb_min.min(0) for g in tables.inst.groups]
+        )
+        root_hi = functools.reduce(
+            jnp.maximum, [g.aabb_max.max(0) for g in tables.inst.groups]
+        )
+    else:
+        root_lo = tables.bvh.aabb_min[0]
+        root_hi = tables.bvh.aabb_max[0]
     scale = 64.0 / jnp.maximum(root_hi - root_lo, 1e-20)
 
     def cell(x, k):
@@ -811,8 +822,10 @@ def render_sample(
     """
     # packet traversal: group lanes into 32x32 pixel blocks (each (8, 128)
     # tile shares a tight square primary beam) and re-sort the wavefront
-    # between bounces; s["slot"] carries each lane's output position
-    repack = _packet_preferred(tables) and not os.environ.get("VKRT_NO_REPACK")
+    # between bounces; s["slot"] carries each lane's output position.
+    # Instanced scenes whose BLAS walks ride the beam kernel need the
+    # same treatment (their material rays straddle octants identically).
+    repack = _beam_occlusion(tables) and not os.environ.get("VKRT_NO_REPACK")
     slot = None
     if lane_idx is None and repack:
         order, _ = _block_order(width, height)
