@@ -91,6 +91,28 @@ def test_emissive_mis_weight_below_one(tables, cam):
     assert bright.max() > 9.0
 
 
+def test_nee_prune_bit_identical(tables, cam, monkeypatch):
+    """The NdotL/black-light NEE prune (sample_lights) must not change the
+    image on opaque scenes: pruned lanes' contributions are provably zero
+    (radiance == 0 or BSDF == 0) whether or not the shadow ray is traced.
+    Only the emissive-verify probe's ray counter may shrink (pruned lanes
+    skip the pdf probe)."""
+    from vulkan_raytracer_tpu.render import renderer as R
+
+    assert not tables.has_alpha  # Cornell is opaque: the prune is active
+    img_on, rays_on = R.render_image(
+        tables, cam, W, H, spp=2, max_depth=3, tonemap=False
+    )
+    monkeypatch.setenv("VKRT_NO_NEE_PRUNE", "1")
+    R._render_batch.clear_cache()
+    img_off, rays_off = R.render_image(
+        tables, cam, W, H, spp=2, max_depth=3, tonemap=False
+    )
+    R._render_batch.clear_cache()
+    np.testing.assert_array_equal(img_on, img_off)
+    assert rays_on <= rays_off
+
+
 def test_banded_render_matches_single_pass(monkeypatch):
     """Large-frame lane banding (renderer.MAX_LANES_PER_PASS) is exact."""
     import numpy as np

@@ -765,15 +765,34 @@ def sample_lights(tables, hit, wavelength, view_world: V3, seed, mask):
         t_max = jnp.where(pick_analytic, t_max, tmax_e)
         rays = rays + jnp.sum(mask & ~pick_analytic, dtype=jnp.int32)
 
+    # NdotL / black-light pruning: a lane whose NEE contribution is zero
+    # regardless of occlusion — sampled radiance == 0, or BSDF == 0 toward
+    # the light (e.g. an opaque lane whose sampled light sits below its
+    # horizon) — need not trace at all.  The BSDF is occlusion-independent,
+    # so evaluating it BEFORE the launch is free reordering; pruned lanes
+    # go dead into the occlusion sort, which clusters them into tiles the
+    # packet kernel exits in O(depth).  The reference traces every shadow
+    # ray unconditionally (lightsample.glsl:45,:131 — bsdf is applied
+    # after), so the ray counters above keep its accounting and the
+    # Mrays/s denominator is unchanged.  Alpha scenes skip the prune:
+    # their shadow traversal consumes per-lane RNG (stochastic BLEND), and
+    # pruning would desync the streams vs the scalar oracle.
+    tview = v3_to_tangent(view_world, hit.tangent, hit.bitangent, hit.normal)
+    tlight = v3_to_tangent(light_dir, hit.tangent, hit.bitangent, hit.normal)
+    bsdf_val = material_bsdf(hit, wavelength, tview, tlight)
+    trace_mask = mask
+    if not tables.has_alpha and not os.environ.get("VKRT_NO_NEE_PRUNE"):
+        trace_mask = mask & radiance.any_nonzero() & bsdf_val.any_nonzero()
+
     # ONE merged occlusion launch for both branches (the analytic shadow
     # ray, lightsample.glsl:45, and the emissive verification ray, :131):
     # branch picks are random per lane, so two masked launches would each
     # walk every packet tile at half occupancy for twice the fixed cost.
     ray_o = _offset_origin(hit, light_dir)
     occluded, seed = _shadow(
-        tables, ray_o, light_dir, t_max=t_max, active=mask, seed=seed
+        tables, ray_o, light_dir, t_max=t_max, active=trace_mask, seed=seed
     )
-    radiance = radiance.where(~occluded & mask, V3(0.0, 0.0, 0.0))
+    radiance = radiance.where(~occluded & trace_mask, V3(0.0, 0.0, 0.0))
     if has_emissive:
         # pdf probe over all emissive surfaces along the verified ray
         # (lightsample.glsl:136); only surviving emissive-branch lanes
@@ -785,10 +804,6 @@ def sample_lights(tables, hit, wavelength, view_world: V3, seed, mask):
 
     got_light = radiance.any_nonzero() & mask
     pdf = pdf / _F32(max(1, int(has_analytic) + int(has_emissive)))  # :161
-
-    tview = v3_to_tangent(view_world, hit.tangent, hit.bitangent, hit.normal)
-    tlight = v3_to_tangent(light_dir, hit.tangent, hit.bitangent, hit.normal)
-    bsdf_val = material_bsdf(hit, wavelength, tview, tlight)
     mis = jnp.where(delta, 1.0, _balance(pdf, material_pdf(hit, tview, tlight)))
     scale = mis * jnp.abs(hit.normal.dot(light_dir)) / jnp.maximum(pdf, 1e-30)
     contrib = (radiance * bsdf_val * scale).where(
