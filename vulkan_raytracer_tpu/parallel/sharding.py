@@ -78,6 +78,52 @@ def render_sample_sharded(
     jax.jit, static_argnums=(3, 4, 5, 6),
     static_argnames=("mesh", "nee_weighting"),
 )
+def _render_scan_sharded(
+    tables, view_inv, proj_inv, width, height, max_depth, spp, start_sample,
+    lanes, mesh, nee_weighting="reference",
+):
+    """All ``spp`` samples in ONE sharded dispatch: each chip runs the same
+    fixed-order ``lax.scan`` over sample-batched waves as the single-chip
+    `_render_batch` — dispatch-structure parity is what makes a 1-device
+    mesh match the plain path's Mrays/s (measured 0.22x when this was a
+    host loop of band x chunk dispatches, tools/bench_sharded_parity.py)."""
+    from ..render.renderer import MAX_LANES_PER_PASS, _render_wave
+
+    axis = mesh.axis_names[0]
+    per = lanes.shape[0] // mesh.shape[axis]
+    s_batch = min(spp, max(1, MAX_LANES_PER_PASS // per))
+    while spp % s_batch:
+        s_batch -= 1
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def body(tables_, vi, pi, lanes_):
+        def step(acc, svec):
+            radiance, rays = _render_wave(
+                tables_, vi, pi, width, height, max_depth, svec, lanes_,
+                nee_weighting,
+            )
+            return acc + radiance, rays
+
+        init = jnp.zeros((lanes_.shape[0], 3), jnp.float32)
+        samples = (start_sample + jnp.arange(spp, dtype=jnp.uint32)).reshape(
+            -1, s_batch
+        )
+        acc, rays = jax.lax.scan(step, init, samples)
+        return acc, jax.lax.psum(rays, axis)
+
+    return body(tables, view_inv, proj_inv, lanes)
+
+
+@functools.partial(
+    jax.jit, static_argnums=(3, 4, 5, 6),
+    static_argnames=("mesh", "nee_weighting"),
+)
 def _render_band_sharded(
     tables, view_inv, proj_inv, width, height, max_depth, spp, start_sample,
     lanes, mesh, nee_weighting="reference",
@@ -108,6 +154,15 @@ def _render_band_sharded(
     return body(tables, view_inv, proj_inv, lanes)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _finish(acc, lanes, n, spp, tonemap):
+    """Inverse-scatter lane-sharded radiance to pixel order + tonemap on
+    device.  Duplicate cross-chip padding lanes rewrite the same pixel
+    with an identical value."""
+    img = jnp.zeros((n, 3), jnp.float32).at[lanes].set(acc) / jnp.float32(spp)
+    return reinhard_jodie(img) if tonemap else img
+
+
 def render_image_sharded(
     tables, camera, width, height, spp, max_depth, mesh: Mesh, start_sample: int = 1,
     tonemap: bool = True, nee_weighting: str = "reference", gather=None,
@@ -124,7 +179,11 @@ def render_image_sharded(
     import numpy as np
 
     from ..render.integrator import _block_order
-    from ..render.renderer import MAX_LANES_PER_PASS, camera_uniforms
+    from ..render.renderer import (
+        MAX_LANES_PER_PASS,
+        camera_uniforms,
+        default_spp_chunk,
+    )
 
     # ``gather`` pulls a lane-sharded device array to a full host copy.
     # device_get suffices single-process; multi-host passes a DCN
@@ -144,50 +203,64 @@ def render_image_sharded(
         [order, np.full(n_dev * per - n, order[-1], np.int32)]
     )
     chip_lanes = order_pad.reshape(n_dev, per)
-
-    # per-chip banding + sample chunking, mirroring _render_batch_banded
-    if per * spp <= MAX_LANES_PER_PASS:
-        spp_chunk, n_bands = spp, 1
-    else:
-        spp_chunk = min(spp, 4)
-        n_bands = max(1, -(-per * spp_chunk // MAX_LANES_PER_PASS))
-    bper = -(-per // n_bands)
-    lanes_banded = np.concatenate(
-        [chip_lanes,
-         np.repeat(chip_lanes[:, -1:], n_bands * bper - per, axis=1)],
-        axis=1,
-    )  # (n_dev, n_bands*bper), padded with each chip's last lane
-
-    acc_sw = np.zeros((n_dev, n_bands * bper, 3), np.float32)
+    acc_sw = np.zeros((n_dev, per, 3), np.float32)
     total_rays = np.zeros((), np.int64)
-    for b in range(n_bands):
-        lanes = jnp.asarray(
-            np.ascontiguousarray(
-                lanes_banded[:, b * bper : (b + 1) * bper]
-            ).reshape(-1)
+
+    if per <= MAX_LANES_PER_PASS:
+        # one dispatch: per-chip lax.scan over sample waves (plain-path
+        # dispatch structure; tools/bench_sharded_parity.py)
+        lanes_dev = jnp.asarray(chip_lanes.reshape(-1))
+        radiance, rays = _render_scan_sharded(
+            tables, view_inv, proj_inv, width, height, max_depth, spp,
+            jnp.uint32(start_sample), lanes_dev,
+            mesh=mesh, nee_weighting=nee_weighting,
         )
-        done = 0
-        while done < spp:
-            c = min(spp_chunk, spp - done)
-            radiance, rays = _render_band_sharded(
-                tables, view_inv, proj_inv, width, height, max_depth, c,
-                jnp.uint32(start_sample + done), lanes, mesh=mesh,
-                nee_weighting=nee_weighting,
+        # out_specs P() replicates the psum'd counter onto every device,
+        # so shard 0 is the global value on any process
+        total_rays = np.asarray(
+            rays.addressable_data(0), np.int64
+        ).sum()
+        if gather is jax.device_get:
+            # single-process: inverse-scatter + tonemap on device (XLA
+            # gathers the lane shards), ONE host fetch — the double
+            # host round-trip cost ~2x on sub-second frames
+            img = np.asarray(jax.device_get(_finish(
+                radiance, lanes_dev, n, spp, tonemap
+            ))).reshape(height, width, 3)
+            return img, int(total_rays)
+        acc_sw[:] = np.asarray(gather(radiance)).reshape(n_dev, per, 3)
+    else:
+        # per-chip banding + sample chunking, mirroring
+        # _render_batch_banded (ragged last band; no re-traced padding)
+        spp_chunk = default_spp_chunk(spp)
+        n_bands = max(1, -(-per * spp_chunk // MAX_LANES_PER_PASS))
+        bper = -(-per // n_bands)
+        for b in range(-(-per // bper)):
+            lo, hi = b * bper, min((b + 1) * bper, per)
+            lanes = jnp.asarray(
+                np.ascontiguousarray(chip_lanes[:, lo:hi]).reshape(-1)
             )
-            acc_sw[:, b * bper : (b + 1) * bper] += np.asarray(
-                gather(radiance)
-            ).reshape(n_dev, bper, 3)
-            # out_specs P() replicates the psum'd counter onto every
-            # device, so shard 0 is the global value on any process
-            total_rays = total_rays + np.asarray(
-                rays.addressable_data(0), np.int64
-            ).sum()
-            done += c
+            done = 0
+            while done < spp:
+                c = min(spp_chunk, spp - done)
+                radiance, rays = _render_band_sharded(
+                    tables, view_inv, proj_inv, width, height, max_depth, c,
+                    jnp.uint32(start_sample + done), lanes, mesh=mesh,
+                    nee_weighting=nee_weighting,
+                )
+                acc_sw[:, lo:hi] += np.asarray(
+                    gather(radiance)
+                ).reshape(n_dev, hi - lo, 3)
+                total_rays = total_rays + np.asarray(
+                    rays.addressable_data(0), np.int64
+                ).sum()
+                done += c
 
     # scatter the swizzled accumulation back to pixel order (duplicate
-    # padding lanes rewrite the same pixel with an identical value)
+    # cross-chip padding lanes rewrite the same pixel with an identical
+    # value)
     acc = np.zeros((n, 3), np.float32)
-    acc[lanes_banded.reshape(-1)] = acc_sw.reshape(-1, 3)
+    acc[chip_lanes.reshape(-1)] = acc_sw.reshape(-1, 3)
     img = acc / np.float32(spp)
     if tonemap:
         img = np.asarray(reinhard_jodie(jnp.asarray(img)))

@@ -372,13 +372,16 @@ def _sort_wavefront(tables, s):
     return out
 
 
+@functools.lru_cache(maxsize=8)
 def _block_order(width: int, height: int, block: int = 32):
     """Pixel permutation grouping 32x32 image blocks into consecutive lanes.
 
     The packet kernel traverses one (8, 128)=1024-lane tile per shared
     cursor; a square pixel block gives the tightest primary-ray beam
     (measured 2.7x over row-major strips on v5e).  Host-side NumPy —
-    embedded as a constant under jit.  Returns (order, inverse).
+    embedded as a constant under jit; lru_cached (callers must not
+    mutate) since the argsorts cost ~10 ms per megapixel per call.
+    Returns (order, inverse).
     """
     idx = np.arange(width * height)
     px, py = idx % width, idx // width

@@ -19,6 +19,7 @@ Two APIs:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +123,17 @@ def _render_band(tables, view_inv, proj_inv, width, height, max_depth, spp,
     )
 
 
+def default_spp_chunk(spp: int) -> int:
+    """Samples per banded wave: trade pixels-per-band for samples-per-wave
+    at the fixed MAX_LANES_PER_PASS dispatch bound.  More samples of the
+    same pixel block pack tighter (octant, origin-Morton) bounce-sort bins.
+    End-to-end sweep on a cfg4-class frame (tools/bench_sample_batch.py,
+    960x540 hall, 16 spp, depth 4, v5e): chunk 1/2/4/8/16 = 0.495/0.506/
+    0.534/0.548/0.553 Mrays/s — saturating past 8, so 8 is the default
+    (VKRT_SPP_CHUNK overrides)."""
+    return min(spp, int(os.environ.get("VKRT_SPP_CHUNK", "8")))
+
+
 def _render_batch_banded(tables, view_inv, proj_inv, width, height, max_depth,
                          spp, start_sample, nee_weighting="reference"):
     from .integrator import _block_order
@@ -130,18 +142,18 @@ def _render_batch_banded(tables, view_inv, proj_inv, width, height, max_depth,
     # each dispatch traces one wave of band_pixels x spp_chunk lanes; the
     # sample batch rides in the wave (tighter bounce-sort bins) instead of
     # a sequential scan, at the same per-dispatch work bound
-    spp_chunk = min(spp, 4)  # bound per-dispatch work on slow deep scenes
+    spp_chunk = default_spp_chunk(spp)
     n_bands = -(-n * spp_chunk // MAX_LANES_PER_PASS)
     per = -(-n // n_bands)
     order, inverse = _block_order(width, height)
-    order_pad = np.concatenate(
-        [order, np.full(n_bands * per - n, order[-1], np.int32)]
-    )
     acc_bands = []
     rays = np.zeros((), np.int64)
-    for b in range(n_bands):
-        lanes = jnp.asarray(order_pad[b * per : (b + 1) * per])
-        acc = np.zeros((per, 3), np.float32)
+    # ragged last band (at most one extra compile shape) instead of padded
+    # duplicate lanes: padding would re-trace real pixels and inflate the
+    # ray counter, desyncing it from the sharded path's
+    for b in range(-(-n // per)):
+        lanes = jnp.asarray(order[b * per : (b + 1) * per])
+        acc = np.zeros((lanes.shape[0], 3), np.float32)
         s0 = int(start_sample)
         done = 0
         while done < spp:
@@ -154,7 +166,7 @@ def _render_batch_banded(tables, view_inv, proj_inv, width, height, max_depth,
             rays = rays + np.asarray(r, np.int64).sum()
             done += c
         acc_bands.append(acc)
-    acc = np.concatenate(acc_bands)[:n][np.asarray(inverse)]
+    acc = np.concatenate(acc_bands)[np.asarray(inverse)]
     return jnp.asarray(acc), rays
 
 
