@@ -155,6 +155,36 @@ def test_cli_parsing_matches_reference_semantics():
     assert a2.resolution == (800, 600)
 
 
+def test_skybox_default_on_parity(tmp_path, monkeypatch):
+    """Skybox defaults ON like args::ImplicitValueFlag, consumed
+    unconditionally (main.cpp:138-139,167): absence of --skybox still
+    resolves hilly_terrain_01_4k.hdr through the resource search path —
+    loaded when present, warn-and-continue when absent."""
+    from vulkan_raytracer_tpu.cli import DEFAULT_SKYBOX, build_parser, load_scene
+    from vulkan_raytracer_tpu.utils.image import write_hdr
+
+    p = build_parser()
+    a = p.parse_args(["-m", "cornell", "--spp", "1"])
+    assert a.skybox == DEFAULT_SKYBOX  # default-on, not None
+
+    # asset missing: warn-and-continue, no environment
+    monkeypatch.chdir(tmp_path)
+    s = load_scene(a)
+    assert s.skybox is None
+
+    # asset present in the resource dir: picked up with no flag at all
+    res = tmp_path / "res"
+    res.mkdir()
+    write_hdr(str(res / DEFAULT_SKYBOX),
+              np.full((4, 8, 3), 0.25, np.float32))
+    s2 = load_scene(p.parse_args(["-m", "cornell"]))
+    assert s2.skybox is not None and s2.skybox.shape == (4, 8, 3)
+
+    # explicit off switch
+    s3 = load_scene(p.parse_args(["-m", "cornell", "--no-skybox"]))
+    assert s3.skybox is None
+
+
 def test_multi_model_composition(tmp_path):
     """Two Cornell boxes side by side via per-model transforms (main.cpp:159)."""
     s = Scene()

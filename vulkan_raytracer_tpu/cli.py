@@ -105,8 +105,18 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="X,Y,Z", help="Model scale(s); 'd' = default")
     p.add_argument("-c", "--camera-position", default="d", metavar="X,Y,Z")
     p.add_argument("-d", "--camera-direction", default="d", metavar="X,Y,Z")
-    p.add_argument("--skybox", nargs="?", const=DEFAULT_SKYBOX, default=None,
-                   help="Equirectangular HDR skybox file")
+    # default-ON parity: args::ImplicitValueFlag yields the default name
+    # even when the flag is absent, and it is consumed unconditionally
+    # (main.cpp:138-139,167) — so absence means "try the bundled HDR",
+    # resolved through the resource search path, warn-and-continue if the
+    # asset is missing.  --no-skybox is our explicit off switch (the
+    # reference has none; its off state is simply the asset not existing).
+    p.add_argument("--skybox", nargs="?", const=DEFAULT_SKYBOX,
+                   default=DEFAULT_SKYBOX,
+                   help="Equirectangular HDR skybox file "
+                        f"(default {DEFAULT_SKYBOX}, main.cpp:138)")
+    p.add_argument("--no-skybox", action="store_true",
+                   help="Disable the environment map")
     p.add_argument("--skybox-strength", type=float, default=1.0)
     # headless extensions (no swapchain on a TPU host)
     p.add_argument("--spp", type=int, default=64, help="Samples per pixel")
@@ -166,7 +176,7 @@ def load_scene(args) -> Scene:
                 _get(args.translations, i, 3, "translation", (0.0, 0.0, 0.0)),
             )
             scene.load_model(_resolve_model(model), transform)
-    if args.skybox:
+    if args.skybox and not getattr(args, "no_skybox", False):
         sky_path = _resolve_model(args.skybox, optional=True)
         if sky_path is None:
             log.warn("skybox %s not found; rendering without environment", args.skybox)
