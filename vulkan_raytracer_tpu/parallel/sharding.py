@@ -166,6 +166,7 @@ def _finish(acc, lanes, n, spp, tonemap):
 def render_image_sharded(
     tables, camera, width, height, spp, max_depth, mesh: Mesh, start_sample: int = 1,
     tonemap: bool = True, nee_weighting: str = "reference", gather=None,
+    max_lanes_per_pass: int | None = None,
 ):
     """Headless multi-chip render; same contract as render.renderer.render_image.
 
@@ -184,6 +185,11 @@ def render_image_sharded(
         camera_uniforms,
         default_spp_chunk,
     )
+
+    # override exists so tests / the driver dry run can exercise the banded
+    # branch at tiny shapes (VERDICT r3 item 6)
+    if max_lanes_per_pass is None:
+        max_lanes_per_pass = MAX_LANES_PER_PASS
 
     # ``gather`` pulls a lane-sharded device array to a full host copy.
     # device_get suffices single-process; multi-host passes a DCN
@@ -206,7 +212,7 @@ def render_image_sharded(
     acc_sw = np.zeros((n_dev, per, 3), np.float32)
     total_rays = np.zeros((), np.int64)
 
-    if per <= MAX_LANES_PER_PASS:
+    if per <= max_lanes_per_pass:
         # one dispatch: per-chip lax.scan over sample waves (plain-path
         # dispatch structure; tools/bench_sharded_parity.py)
         lanes_dev = jnp.asarray(chip_lanes.reshape(-1))
@@ -233,7 +239,7 @@ def render_image_sharded(
         # per-chip banding + sample chunking, mirroring
         # _render_batch_banded (ragged last band; no re-traced padding)
         spp_chunk = default_spp_chunk(spp)
-        n_bands = max(1, -(-per * spp_chunk // MAX_LANES_PER_PASS))
+        n_bands = max(1, -(-per * spp_chunk // max_lanes_per_pass))
         bper = -(-per // n_bands)
         for b in range(-(-per // bper)):
             lo, hi = b * bper, min((b + 1) * bper, per)
