@@ -162,6 +162,11 @@ class OracleScene:
         self.tex_off = np.asarray(tables.tex.off)
         self.tex_h = np.asarray(tables.tex.h)
         self.tex_w = np.asarray(tables.tex.w)
+        # per-triangle any-hit alpha tables (hit/shadow/emissive.rahit)
+        self.has_alpha = tables.has_alpha
+        self.alpha_mode = np.asarray(tables.alpha.mode)
+        self.alpha_value = g(tables.alpha.value)
+        self.alpha_cutoff = g(tables.alpha.cutoff)
 
     def sample_tex(self, ti, uv):
         """Bilinear + repeat over the flat atlas (ops/texture.py parity).
@@ -221,7 +226,8 @@ class OracleScene:
         v = np.sum(d[:, None, :] * qvec, -1) * inv
         t = np.sum(self.e2[None] * qvec, -1) * inv
         tm = t_max if np.ndim(t_max) else np.full(n, t_max, F)
-        hit = (~bad) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min) & (t <= tm[:, None])
+        tmn = t_min if np.ndim(t_min) else np.full(n, t_min, F)
+        hit = (~bad) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > tmn[:, None]) & (t <= tm[:, None])
         t = np.where(hit, t, np.inf).astype(F)
         k = np.argmin(t, 1)
         r = np.arange(n)
@@ -237,6 +243,84 @@ class OracleScene:
     def occluded(self, o, d, t_max):
         t, tri, _, _ = self.closest(o, d, F(0.0), INF)
         return (tri >= 0) & (t <= t_max)
+
+    def alpha_test(self, tri, u, v, seed, cand):
+        """Any-hit alpha decision (hit.rahit:26-53), bit-matching
+        integrator._alpha_test: alpha = baseColourFactor.a x
+        baseColourTexture.a at the candidate's barycentrics; MASK ignores
+        below the cutoff, BLEND ignores with probability 1-alpha drawing
+        ONE rnd per BLEND candidate.  Returns (keep, seed)."""
+        ti = np.maximum(tri, 0)
+        mode = self.alpha_mode[ti]
+        alpha = self.alpha_value[ti]
+        acut = self.alpha_cutoff[ti]
+        if self.has_textures:
+            tex_b = self.tex_idx[self.tri_mat[ti], 0]
+            w0 = 1.0 - u - v
+            uv6 = self.uv[ti]
+            uv = np.stack(
+                [
+                    w0 * uv6[:, 0] + u * uv6[:, 2] + v * uv6[:, 4],
+                    w0 * uv6[:, 1] + u * uv6[:, 3] + v * uv6[:, 5],
+                ],
+                -1,
+            ).astype(F)
+            texel = self.sample_tex(tex_b, uv)
+            alpha = np.where(tex_b >= 0, alpha * texel[:, 3], alpha).astype(F)
+        is_blend = cand & (mode == 2)
+        u_rnd, seed_adv = rnd(seed)
+        seed = np.where(is_blend, seed_adv, seed)
+        ignore = (cand & (mode == 1) & (alpha < acut)) | (
+            is_blend & (u_rnd < 1.0 - alpha)
+        )
+        return cand & ~ignore, seed
+
+    def closest_alpha(self, o, d, t_min, t_max, active, seed):
+        """integrator._closest parity: alpha-free scenes go straight to
+        the brute-force sweep; MASK/BLEND scenes run the same t-ordered
+        accept/reject resample loop (rejected candidates advance the lower
+        bound strictly past themselves, ignoreIntersectionEXT equivalent)
+        with the same per-BLEND-candidate RNG consumption."""
+        if not self.has_alpha:
+            t, tri, u, v = self.closest(o, d, t_min, t_max)
+            t = np.where(active, t, np.inf).astype(F)
+            tri = np.where(active, tri, -1)
+            return (t, tri, u, v), seed
+        n = o.shape[0]
+        t_lo = (
+            np.full(n, t_min, F) if np.ndim(t_min) == 0 else t_min.astype(F)
+        )
+        pending = active.copy()
+        t_out = np.full(n, np.inf, F)
+        tri_out = np.full(n, -1, np.int64)
+        u_out = np.zeros(n, F)
+        v_out = np.zeros(n, F)
+        while pending.any():
+            t, tri, u, v = self.closest(o, d, t_lo, t_max)
+            found = pending & (tri >= 0)
+            keep, seed2 = self.alpha_test(tri, u, v, seed, found)
+            seed = np.where(pending, seed2, seed)
+            t_safe = np.where(np.isfinite(t), t, F(0.0)).astype(F)
+            rejected = found & ~keep
+            t_lo = np.where(
+                rejected, t_safe * F(1.0 + 4e-7) + F(1e-30), t_lo
+            ).astype(F)
+            t_out = np.where(keep, t, t_out).astype(F)
+            tri_out = np.where(keep, tri, tri_out)
+            u_out = np.where(keep, u, u_out).astype(F)
+            v_out = np.where(keep, v, v_out).astype(F)
+            pending = rejected
+        return (t_out, tri_out, u_out, v_out), seed
+
+    def occluded_alpha(self, o, d, t_max, seed, active):
+        """Occlusion with shadow.rahit alpha semantics (tMin = 0), matching
+        integrator._shadow_unsorted: nearest ACCEPTED hit within t_max."""
+        if not self.has_alpha:
+            return self.occluded(o, d, t_max) & active, seed
+        (_, tri, _, _), seed = self.closest_alpha(
+            o, d, F(0.0), t_max, active, seed
+        )
+        return (tri >= 0) & active, seed
 
     def emissive_pdf(self, o, d, t_min):
         """shaders/emissivepdf.rahit over emissive triangles, brute force."""
@@ -259,7 +343,10 @@ class OracleScene:
         nrm = w0 * en[None, :, 0] + u[..., None] * en[None, :, 1] + v[..., None] * en[None, :, 2]
         nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
         cos = np.abs(np.sum(nrm * d[:, None, :], -1))
-        contrib = self.em_p[None] * t * t / np.maximum(self.em_area[None] * cos, 1e-30)
+        with np.errstate(over="ignore", invalid="ignore"):
+            contrib = self.em_p[None] * t * t / np.maximum(
+                self.em_area[None] * cos, 1e-30
+            )
         return np.sum(np.where(hit, contrib, 0), 1).astype(F)
 
     def sky(self, d):
@@ -727,6 +814,7 @@ def sample_lights(sc, h, wavelength, view_world, seed, mask):
     radiance = np.zeros((n, 3), F)
     ldir = np.zeros((n, 3), F)
     pdf = np.zeros(n, F)
+    t_max = np.full(n, INF, F)
 
     if has_a:
         pf = 1.0 / ((sc.num_point > 0) + (sc.num_directional > 0))
@@ -760,14 +848,10 @@ def sample_lights(sc, h, wavelength, view_world, seed, mask):
         l = np.where(pick_p[:, None], dp, dd).astype(F)
         rad = np.where(pick_p[:, None], rad_p, rad_d).astype(F)
         pdf_a = np.where(pick_p, pf / max(sc.num_point, 1), pf / max(sc.num_directional, 1)).astype(F)
-        tmax = np.where(pick_p, dist, INF).astype(F)
-        off = np.where(dot(h.normal, l) >= 0, 1.0, -1.0).astype(F)
-        ro = h.pos + (off * BIAS)[:, None] * h.normal
-        occ = sc.occluded(ro, l, tmax)
-        rad = np.where((occ | ~m)[:, None], 0, rad)
         radiance = np.where(pick_a[:, None], rad, radiance)
         ldir = np.where(pick_a[:, None], l, ldir)
         pdf = np.where(pick_a, pdf_a, pdf)
+        t_max = np.where(pick_a, np.where(pick_p, dist, INF), t_max).astype(F)
 
     if has_e:
         m = mask & ~pick_a
@@ -785,11 +869,6 @@ def sample_lights(sc, h, wavelength, view_world, seed, mask):
         ray = point - h.pos
         dist = np.maximum(np.linalg.norm(ray, axis=-1), 1e-15).astype(F)
         l = (ray / dist[:, None]).astype(F)
-        off = np.where(dot(h.normal, l) >= 0, 1.0, -1.0).astype(F)
-        ro = (h.pos + (off * BIAS)[:, None] * h.normal).astype(F)
-        # occlusion form of the verify trace: visible iff nothing closer
-        # than the sampled point (== emissive.rchit's identity check)
-        identity = m & ~sc.occluded(ro, l, dist * F(1.0 - 1e-4) - F(1e-5))
         rad_e = sc.emissive[sc.tri_mat[st]].copy()
         if sc.has_textures:
             # emissive.rchit:39-41 — emissive texture at the sampled point
@@ -805,12 +884,24 @@ def sample_lights(sc, h, wavelength, view_world, seed, mask):
             ).astype(F)
             tex_val = sc.sample_tex(tex_e, uvh)
             rad_e = np.where((tex_e >= 0)[:, None], rad_e * tex_val[:, :3], rad_e)
-        visible = identity & np.any(rad_e != 0, -1)
-        pdf_e = sc.emissive_pdf(ro, l, F(0.0))
-        rad_e = np.where(visible[:, None], rad_e, 0).astype(F)
-        radiance = np.where(pick_a[:, None], radiance, rad_e)
+        radiance = np.where(pick_a[:, None], radiance, rad_e).astype(F)
         ldir = np.where(pick_a[:, None], ldir, l)
+        # verify-as-occlusion t_max: visible iff nothing closer than the
+        # sampled point (== emissive.rchit's identity check)
+        t_max = np.where(pick_a, t_max, dist * F(1.0 - 1e-4) - F(1e-5)).astype(F)
+
+    # ONE merged occlusion launch for both branches, in the integrator's
+    # seed order (sample_lights: strategy -> branch draws -> _shadow);
+    # shadow.rahit alpha semantics consume per-BLEND-candidate RNG here
+    off = np.where(dot(h.normal, ldir) >= 0, 1.0, -1.0).astype(F)
+    ro = (h.pos + (off * BIAS)[:, None] * h.normal).astype(F)
+    occ, seed = sc.occluded_alpha(ro, ldir, t_max, seed, mask)
+    radiance = np.where((occ | ~mask)[:, None], 0, radiance)
+    if has_e:
+        visible = mask & ~pick_a & ~occ & np.any(radiance != 0, -1)
+        pdf_e = sc.emissive_pdf(ro, ldir, F(0.0))
         pdf = np.where(pick_a, pdf, pdf_e)
+        radiance = np.where((pick_a | visible)[:, None], radiance, 0).astype(F)
 
     got = np.any(radiance != 0, -1) & mask
     pdf = pdf / F(max(1, int(has_a) + int(has_e)))
@@ -860,9 +951,11 @@ def render_sample(tables, view_inv, proj_inv, width, height, sample_count, max_d
     preview = sample_count == 0
 
     for b in range(max_depth + 1):
-        t, tri, uu, vv = sc.closest(origin, direction, EPS, INF)
-        t = np.where(active, t, np.inf)
-        tri = np.where(active, tri, -1)
+        # material trace with any-hit alpha (hit.rahit), RNG-threaded like
+        # integrator._closest (one rnd per BLEND candidate in t-order)
+        (t, tri, uu, vv), seed = sc.closest_alpha(
+            origin, direction, EPS, INF, active, seed
+        )
         h = eval_hit(sc, origin, direction, t, tri, uu, vv)
         miss = tri < 0
         is_em = np.any(h.emissive != 0, -1)
