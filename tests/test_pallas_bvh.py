@@ -98,6 +98,7 @@ def test_packet_shadow_matches_dense(interpret):
     np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_d))
 
 
+@pytest.mark.slow
 def test_packet_end_to_end_render_matches(interpret, monkeypatch):
     """Full render through the packet path (forced) vs the dense path."""
     import jax.numpy as jnp_
@@ -133,6 +134,7 @@ def test_packet_dead_lanes_cheap_and_correct(interpret):
     assert np.all(np.isinf(np.asarray(tp)))
 
 
+@pytest.mark.slow
 def test_binned_treelet_walk_matches_dense(interpret, monkeypatch):
     """Forced tiny treelets: the multi-pass binned walk equals dense.
 
@@ -248,3 +250,49 @@ def test_octant_permutations_structure():
             # the two children are the original node's children
             lo, ro = oi + 1, miss[oi + 1]
             assert {old[c1], old[m1]} == {lo, ro}
+
+
+def test_windowed_treelet_walk_matches_dense(interpret, monkeypatch):
+    """Round-4 tile-windowed walk equals dense: forced tiny treelets so a
+    tile carries many windows, per-lane t_min/t_max, inactive lanes, the
+    ascending-entry early stop, and the shadow variant."""
+    monkeypatch.setenv("VKRT_TREELET_TRIS", "128")
+    monkeypatch.setenv("VKRT_WINDOWED", "1")
+    from vulkan_raytracer_tpu.ops import pallas_bvh as pk
+
+    t = triangle_soup_scene(n_tris=600, seed=9).upload()
+    assert t.pbvh.n_treelets > 4
+    rng = np.random.default_rng(4)
+    n = 512
+    ov, dv = _rays(rng, n, spread=1.2, ylift=0.0)
+    act = jnp.asarray(np.arange(n) % 3 != 0)
+    t_lo = jnp.asarray(rng.uniform(0.0, 0.5, n).astype(np.float32))
+    tp, trip, up, vp = pk.packet_closest(
+        t, ov, dv, t_min=t_lo, t_max=1e32, active=act
+    )
+    td, trid, ud, vd = dense_closest(
+        t, ov, dv, t_min=t_lo, t_max=1e32, active=act
+    )
+    trip_n, trid_n = np.asarray(trip), np.asarray(trid)
+    np.testing.assert_array_equal(trip_n >= 0, trid_n >= 0)
+    m = trip_n >= 0
+    np.testing.assert_allclose(np.asarray(tp)[m], np.asarray(td)[m], rtol=1e-5)
+    same = trip_n == trid_n
+    assert same[m].mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(up)[m & same], np.asarray(ud)[m & same], atol=1e-5
+    )
+
+    # shadow with per-lane t_max through the same windowed machinery
+    t_max = jnp.asarray(rng.uniform(0.1, 4.0, n).astype(np.float32))
+    occ_p = pk.packet_shadow(t, ov, dv, t_max=t_max, active=act)
+    occ_d = dense_shadow(t, ov, dv, t_max=t_max, active=act)
+    np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_d))
+
+    # all-dead wave exits without walking any window
+    none = jnp.zeros(n, bool)
+    tp0, trip0, _, _ = pk.packet_closest(
+        t, ov, dv, t_min=0.0, t_max=1e32, active=none
+    )
+    assert np.all(np.asarray(trip0) == -1)
+    assert np.all(np.isinf(np.asarray(tp0)))

@@ -162,8 +162,11 @@ def build_packet_bvh(bvh) -> PacketBVH:
     # pick max_tris so the cut fits MAX_TREELETS (each halving of the
     # frontier roughly halves the count)
     max_tris = max(int(os.environ.get("VKRT_TREELET_TRIS", TREELET_TRIS)), k)
+    # the windowed walk has no done-bit words, so its cut may be finer
+    # than the binned walk's 128 cap (VKRT_MAX_TREELETS tunes)
+    cap = int(os.environ.get("VKRT_MAX_TREELETS", MAX_TREELETS))
     cut = treelet_cut(first, miss, k, max_tris)
-    while cut.shape[0] > MAX_TREELETS:
+    while cut.shape[0] > cap:
         max_tris *= 2
         cut = treelet_cut(first, miss, k, max_tris)
     kt = cut.shape[0]
@@ -572,6 +575,402 @@ def _packet_sweep(
     )(bounds, octs, lims, nodes_f, nodes_i, leaves, *rays, t_lo, t_init)
 
 
+def _wkernel(
+    win_f_ref,
+    win_i_ref,
+    nwin_ref,
+    oct_ref,
+    nodes_f_hbm,
+    nodes_i_hbm,
+    leaves_hbm,
+    ox,
+    oy,
+    oz,
+    dx,
+    dy,
+    dz,
+    tlo_ref,
+    t0_ref,
+    tout,
+    slotout,
+    code_s,
+    lf_s,
+    base_s,
+    tmax_s,
+    nf_v,
+    ni_v,
+    code_v,
+    tb_ref,
+    sb_ref,
+    sems,
+    *,
+    leaf_size: int,
+    shadow: bool,
+):
+    """Tile-windowed treelet walk (round 4).
+
+    The shared-beam sweep's bounds come from ALL 1024 lanes, so a diffuse
+    tile's beam is near scene-wide and visits ~32% of the tree.  Here the
+    XLA glue (:func:`_window_glue`) has already slab-tested every ray
+    against the treelet cut at full VPU rate and produced, per tile, a
+    front-to-back list of WINDOWS — one per treelet any live lane
+    personally enters — each carrying interval bounds computed from ONLY
+    the entering lanes.  The kernel walks each window's node range with
+    the same chunk-cull body as :func:`_kernel`; per-lane t carries across
+    windows, and because windows are sorted by min entry t, the outer loop
+    STOPS outright once the next window's entry exceeds the running max t
+    (per-ray-style early termination the shared beam cannot express).
+    Rays never move: no pair expansion, no gathers, no scatters — the glue
+    the round-3 binned walk lost to (DESIGN.md §3 item 1) does not exist.
+    Cost-model sim on production-wave tiles (tools/sim_windowed.py):
+    9158 -> 6192 node and 4403 -> 2927 leaf visits/tile, x1.50.
+    """
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_lo = tlo_ref[:]
+
+    tb_ref[:] = t0_ref[:]
+    sb_ref[:] = jnp.full((_TILE_S, _TILE_L), -1, jnp.int32)
+    base_s[1] = _NEG_BIG  # leaf chunk base (valid across windows)
+
+    row = pl.program_id(0) % 8
+    oct_i = oct_ref[row, 0]
+    n_win = nwin_ref[row, 0]
+
+    def window(w):
+        # refresh the beam's scalar t bound at window entry; entries are
+        # ascending, so entry > tmax ends the whole tile (return n_win)
+        tmax_s[0] = jnp.max(tb_ref[:])
+        entry = win_f_ref[w, 0]
+
+        @pl.when(entry <= tmax_s[0])
+        def _():
+            start_i = win_i_ref[w, 0]
+            end_i = win_i_ref[w, 1]
+            olx, ohx = win_f_ref[w, 1], win_f_ref[w, 2]
+            oly, ohy = win_f_ref[w, 3], win_f_ref[w, 4]
+            olz, ohz = win_f_ref[w, 5], win_f_ref[w, 6]
+            iax, ibx = win_f_ref[w, 7], win_f_ref[w, 8]
+            iay, iby = win_f_ref[w, 9], win_f_ref[w, 10]
+            iaz, ibz = win_f_ref[w, 11], win_f_ref[w, 12]
+            base_s[0] = _NEG_BIG  # bounds changed: invalidate code cache
+
+            def axis_bounds(bmin, bmax, olo, ohi, ia, ib):
+                a = bmin - ohi
+                b = bmin - olo
+                c = bmax - ohi
+                e = bmax - olo
+                near = jnp.minimum(
+                    jnp.minimum(jnp.minimum(a * ia, a * ib), jnp.minimum(b * ia, b * ib)),
+                    jnp.minimum(jnp.minimum(c * ia, c * ib), jnp.minimum(e * ia, e * ib)),
+                )
+                far = jnp.maximum(
+                    jnp.maximum(jnp.maximum(a * ia, a * ib), jnp.maximum(b * ia, b * ib)),
+                    jnp.maximum(jnp.maximum(c * ia, c * ib), jnp.maximum(e * ia, e * ib)),
+                )
+                return near, far
+
+            def body(cur):
+                @pl.when(cur >= base_s[0] + NODE_CHUNK)
+                def _():
+                    tmax_s[0] = jnp.max(tb_ref[:])
+                    nb = pl.multiple_of(
+                        (cur // NODE_CHUNK) * NODE_CHUNK, NODE_CHUNK
+                    )
+                    rb = pl.multiple_of(nb // _TILE_L, _CROWS)
+                    cpf = pltpu.make_async_copy(
+                        nodes_f_hbm.at[oct_i, :, pl.ds(rb, _CROWS), :],
+                        nf_v,
+                        sems.at[0],
+                    )
+                    cpf.start()
+                    cpi = pltpu.make_async_copy(
+                        nodes_i_hbm.at[oct_i, :, pl.ds(rb, _CROWS), :],
+                        ni_v,
+                        sems.at[1],
+                    )
+                    cpi.start()
+                    cpf.wait()
+                    cpi.wait()
+
+                    n_x, f_x = axis_bounds(nf_v[0], nf_v[3], olx, ohx, iax, ibx)
+                    n_y, f_y = axis_bounds(nf_v[1], nf_v[4], oly, ohy, iay, iby)
+                    n_z, f_z = axis_bounds(nf_v[2], nf_v[5], olz, ohz, iaz, ibz)
+                    t_near = jnp.maximum(
+                        jnp.maximum(n_x, n_y), jnp.maximum(n_z, jnp.float32(0.0))
+                    )
+                    t_far = jnp.minimum(jnp.minimum(f_x, f_y), f_z)
+                    alive = (t_near <= t_far) & (t_near <= tmax_s[0])
+                    fl = ni_v[0]
+                    miss = ni_v[1]
+                    nxt1 = (
+                        nb
+                        + 1
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (_CROWS, _TILE_L), 0
+                        )
+                        * _TILE_L
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (_CROWS, _TILE_L), 1
+                        )
+                    )
+                    code_v[:] = jnp.where(
+                        alive, jnp.where(fl >= 0, -fl - 2, nxt1), miss
+                    )
+                    cpc = pltpu.make_async_copy(code_v, code_s, sems.at[2])
+                    cpc.start()
+                    cpc.wait()
+                    base_s[0] = nb
+
+                off = cur - base_s[0]
+                code = code_s[off >> 7, off & 127]
+                is_leaf = code < -1
+
+                @pl.when(is_leaf)
+                def _():
+                    first_leaf = -code - 2
+
+                    @pl.when(
+                        (first_leaf < base_s[1])
+                        | (first_leaf >= base_s[1] + LEAF_CHUNK)
+                    )
+                    def _():
+                        lb = pl.multiple_of(
+                            (first_leaf // LEAF_CHUNK) * LEAF_CHUNK, LEAF_CHUNK
+                        )
+                        cp = pltpu.make_async_copy(
+                            leaves_hbm.at[oct_i, :, pl.ds(lb, LEAF_CHUNK)],
+                            lf_s,
+                            sems.at[1],
+                        )
+                        cp.start()
+                        cp.wait()
+                        base_s[1] = lb
+
+                    loff = first_leaf - base_s[1]
+                    tb_v = tb_ref[:]
+                    sb_v = sb_ref[:]
+                    for j in range(leaf_size):
+                        v0x = lf_s[9 * j + 0, loff]
+                        v0y = lf_s[9 * j + 1, loff]
+                        v0z = lf_s[9 * j + 2, loff]
+                        e1x = lf_s[9 * j + 3, loff]
+                        e1y = lf_s[9 * j + 4, loff]
+                        e1z = lf_s[9 * j + 5, loff]
+                        e2x = lf_s[9 * j + 6, loff]
+                        e2y = lf_s[9 * j + 7, loff]
+                        e2z = lf_s[9 * j + 8, loff]
+
+                        px = d_y * e2z - d_z * e2y
+                        py = d_z * e2x - d_x * e2z
+                        pz = d_x * e2y - d_y * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        near0 = jnp.abs(det) < 1e-12
+                        inv = 1.0 / jnp.where(near0, 1.0, det)
+                        tx = o_x - v0x
+                        ty = o_y - v0y
+                        tz = o_z - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (d_x * qx + d_y * qy + d_z * qz) * inv
+                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                        hit = (
+                            ~near0
+                            & (u >= 0.0)
+                            & (v >= 0.0)
+                            & (u + v <= 1.0)
+                            & (tt > t_lo)
+                            & (tt <= tb_v)
+                        )
+                        if shadow:
+                            tb_v = jnp.where(hit, -1.0, tb_v)
+                            sb_v = jnp.where(
+                                hit, first_leaf * leaf_size + j, sb_v
+                            )
+                        else:
+                            replace = hit & ((tt < tb_v) | (sb_v < 0))
+                            tb_v = jnp.where(replace, tt, tb_v)
+                            sb_v = jnp.where(
+                                replace, first_leaf * leaf_size + j, sb_v
+                            )
+
+                    tb_ref[:] = tb_v
+                    sb_ref[:] = sb_v
+
+                return jnp.where(is_leaf, cur + 1, code)
+
+            jax.lax.while_loop(lambda cur: cur < end_i, body, start_i)
+
+        # ascending entries: a window beyond tmax ends the tile outright
+        return jnp.where(entry <= tmax_s[0], w + 1, n_win)
+
+    jax.lax.while_loop(lambda w: w < n_win, window, jnp.int32(0))
+    tout[:] = tb_ref[:]
+    slotout[:] = sb_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "shadow"))
+def _windowed_sweep_call(
+    pb_arrays, win_f, win_i, nwin, octs, rays, t_lo, t_init, leaf_size, shadow
+):
+    nodes_f, nodes_i, leaves = pb_arrays
+    n_rows = rays[0].shape[0]
+    n_tiles = n_rows // _TILE_S
+    kp = win_f.shape[1]
+    grid = (n_tiles,)
+    ray_spec = pl.BlockSpec(
+        (_TILE_S, _TILE_L), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    t_pad = -(-n_tiles // 8) * 8 - n_tiles
+    if t_pad:
+        octs = jnp.pad(octs, ((0, t_pad), (0, 0)))
+        nwin = jnp.pad(nwin, ((0, t_pad), (0, 0)))
+    win_f_spec = pl.BlockSpec(
+        (kp, 16), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    win_i_spec = pl.BlockSpec(
+        (kp, 2), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    oct_spec = pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_wkernel, leaf_size=leaf_size, shadow=shadow),
+        grid=grid,
+        in_specs=[win_f_spec, win_i_spec, oct_spec, oct_spec]
+        + [any_spec] * 3
+        + [ray_spec] * 8,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((_CROWS, _TILE_L), jnp.int32),  # code_s
+            pltpu.SMEM((9 * leaf_size, LEAF_CHUNK), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((6, _CROWS, _TILE_L), jnp.float32),  # nf_v
+            pltpu.VMEM((2, _CROWS, _TILE_L), jnp.int32),  # ni_v
+            pltpu.VMEM((_CROWS, _TILE_L), jnp.int32),  # code_v
+            pltpu.VMEM((_TILE_S, _TILE_L), jnp.float32),
+            pltpu.VMEM((_TILE_S, _TILE_L), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=bool(os.environ.get("VKRT_PALLAS_INTERPRET")),
+    )(
+        win_f.reshape(-1, 16),
+        win_i.reshape(-1, 2),
+        nwin,
+        octs,
+        nodes_f,
+        nodes_i,
+        leaves,
+        *rays,
+        t_lo,
+        t_init,
+    )
+
+
+def _window_glue(pb: PacketBVH, rays, t_lo_p, t_init, octs):
+    """Per-tile front-to-back treelet window tables, built at full VPU
+    rate in XLA: exact per-ray slab tests against the treelet cut, then
+    masked per-(tile, treelet) reductions give each window interval
+    bounds over ONLY its entering live lanes.  Returns
+    (win_f (T, Kp, 16) f32 [entry, 12 bounds, pad], win_i (T, Kp, 2) i32
+    stream windows in the tile's octant, nwin (T, 1) i32)."""
+    kk = int(pb.n_treelets)
+    kp = -(-kk // 8) * 8
+    box = pb.tl_box  # (K, 6)
+    n_tiles = t_init.shape[0] // _TILE_S
+    lane = lambda x: x.reshape(n_tiles, _TILE)
+    ox, oy, oz, dx, dy, dz = (lane(r) for r in rays)
+    t_init_l = lane(t_init)
+    t_lo_l = lane(t_lo_p)
+    live = t_init_l >= 0.0
+
+    ivx, ivy, ivz = _inv_comp(dx), _inv_comp(dy), _inv_comp(dz)
+
+    def axis(bmin, bmax, o, iv):
+        a = (bmin - o[..., None]) * iv[..., None]
+        b = (bmax - o[..., None]) * iv[..., None]
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    n1, f1 = axis(box[:, 0], box[:, 3], ox, ivx)
+    n2, f2 = axis(box[:, 1], box[:, 4], oy, ivy)
+    n3, f3 = axis(box[:, 2], box[:, 5], oz, ivz)
+    near = jnp.maximum(jnp.maximum(n1, n2), n3)
+    far = jnp.minimum(jnp.minimum(f1, f2), f3)
+    enters = (
+        live[..., None]
+        & (near <= far)
+        & (far >= t_lo_l[..., None])
+        & (near <= t_init_l[..., None])  # beyond the lane's cap: no hit
+    )  # (T, TILE, K)
+    te = jnp.where(enters, jnp.maximum(near, 0.0), _BIGF)
+
+    entry = jnp.min(te, axis=1)  # (T, K)
+
+    def mm(x, big):
+        lo = jnp.min(jnp.where(enters, x[..., None], big), axis=1)
+        hi = jnp.max(jnp.where(enters, x[..., None], -big), axis=1)
+        return lo, hi
+
+    olx, ohx = mm(ox, _BIGF)
+    oly, ohy = mm(oy, _BIGF)
+    olz, ohz = mm(oz, _BIGF)
+
+    def dinterval(dc):
+        dlo, dhi = mm(dc, _BIGF)
+        uni = (dlo > 0.0) | (dhi < 0.0)
+        ia = jnp.where(uni, 1.0 / jnp.where(dhi == 0.0, -1e-30, dhi), -_BIGF)
+        ib = jnp.where(uni, 1.0 / jnp.where(dlo == 0.0, 1e-30, dlo), _BIGF)
+        return ia, ib
+
+    iax, ibx = dinterval(dx)
+    iay, iby = dinterval(dy)
+    iaz, ibz = dinterval(dz)
+
+    order = jnp.argsort(entry, axis=1)  # empty windows (entry BIG) last
+    nwin = jnp.sum(entry < _BIGF, axis=1, dtype=jnp.int32)[:, None]
+    feats = jnp.stack(
+        [entry, olx, ohx, oly, ohy, olz, ohz, iax, ibx, iay, iby, iaz, ibz],
+        axis=-1,
+    )  # (T, K, 13)
+    win_f = jnp.take_along_axis(feats, order[..., None], axis=1)
+    win_f = jnp.pad(win_f, ((0, 0), (0, kp - kk), (0, 3)))
+    lims = jnp.take(pb.tl_lim, octs[:, 0], axis=0)  # (T, K, 2)
+    win_i = jnp.take_along_axis(lims, order[..., None], axis=1)
+    win_i = jnp.pad(win_i, ((0, 0), (0, kp - kk), (0, 0)))
+    return win_f, win_i, nwin
+
+
+def _windowed_enabled(pb) -> bool:
+    """Tile-windowed treelet walk (round 4): opt-in via VKRT_WINDOWED
+    while being qualified on hardware; VKRT_NO_WINDOWED force-disables."""
+    return (
+        pb.n_treelets > 1
+        and bool(os.environ.get("VKRT_WINDOWED"))
+        and not os.environ.get("VKRT_NO_WINDOWED")
+    )
+
+
+def _windowed_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool):
+    """Windowed traversal entry: returns (t_best, slot, octs, n)."""
+    n = o.x.shape[0]
+    rays, t_init, _ = _prep_rays(o, d, t_init0)
+    t_lo_p = jnp.pad(t_lo_l, (0, t_init.size - n)).reshape(t_init.shape)
+    _, octs = _tile_beam_bounds(rays, t_init)
+    win_f, win_i, nwin = _window_glue(pb, rays, t_lo_p, t_init, octs)
+    t_best, slot = _windowed_sweep_call(
+        (pb.nodes_f, pb.nodes_i, pb.leaves),
+        win_f, win_i, nwin, octs, rays, t_lo_p, t_init,
+        int(pb.leaf_size), shadow,
+    )
+    return t_best.reshape(-1)[:n], slot.reshape(-1)[:n], octs
+
+
 def packet_backend_ok() -> bool:
     """The packet kernel runs on TPU (or interpret mode for CI)."""
     return jax.default_backend() in ("tpu",) or bool(
@@ -906,6 +1305,10 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
     t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_init0 = jnp.where(active, t_bound, -1.0)
 
+    if _windowed_enabled(pb):
+        t_best, slot, octs = _windowed_sweep(pb, o, d, t_lo, t_init0, shadow=False)
+        tri, found = _slot_to_tri(pb, octs, slot, n)
+        return _winner_uv(tables, o, d, found, t_best, tri)
     if _binned_enabled(pb):
         out = _binned_sweep(pb, o, d, t_lo, t_init0, shadow=False)
         t_best, tri = out[0], out[1]
@@ -953,6 +1356,11 @@ def packet_shadow(tables, o, d, *, t_max, active):
     t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     t_init0 = jnp.where(active, t_bound, -1.0)
 
+    if _windowed_enabled(pb):
+        _, slot, _ = _windowed_sweep(
+            pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
+        )
+        return (slot >= 0) & active
     if _binned_enabled(pb):
         out = _binned_sweep(
             pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
