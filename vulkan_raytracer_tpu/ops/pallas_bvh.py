@@ -130,8 +130,11 @@ def _pad_np(x, m, fill=0.0):
 #: upper bound on treelets (done-bit words in the binned walk = K/32)
 MAX_TREELETS = 128
 #: default target triangle slots per treelet (VKRT_TREELET_TRIS overrides,
-#: read at build time so tests/tuning can vary it per scene upload)
-TREELET_TRIS = 4096
+#: read at build time so tests/tuning can vary it per scene upload).
+#: 2048 is the windowed-walk sweet spot measured on the 256k-tri hall
+#: (tools/bench_windowed.py: K=128 beats K=64 and K=32; K=256 is noise-
+#: level better but doubles the window-glue arrays)
+TREELET_TRIS = 2048
 
 
 def build_packet_bvh(bvh) -> PacketBVH:
@@ -947,13 +950,13 @@ def _window_glue(pb: PacketBVH, rays, t_lo_p, t_init, octs):
 
 
 def _windowed_enabled(pb) -> bool:
-    """Tile-windowed treelet walk (round 4): opt-in via VKRT_WINDOWED
-    while being qualified on hardware; VKRT_NO_WINDOWED force-disables."""
-    return (
-        pb.n_treelets > 1
-        and bool(os.environ.get("VKRT_WINDOWED"))
-        and not os.environ.get("VKRT_NO_WINDOWED")
-    )
+    """Tile-windowed treelet walk (round 4): DEFAULT for multi-treelet
+    scenes.  Measured on v5e (tools/bench_windowed.py, bench_windowed_e2e):
+    closest x1.26, NEE shadow x2.51, cfg4-class render end-to-end
+    0.474 -> 0.620 Mrays/s (x1.31) with pixel-identical output.
+    VKRT_NO_WINDOWED force-disables (A/B); the opt-in binned pair walk
+    (VKRT_BINNED) takes precedence in the callers."""
+    return pb.n_treelets > 1 and not os.environ.get("VKRT_NO_WINDOWED")
 
 
 def _windowed_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool):
@@ -1305,14 +1308,14 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
     t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_init0 = jnp.where(active, t_bound, -1.0)
 
+    if _binned_enabled(pb):  # explicit opt-in wins over the default
+        out = _binned_sweep(pb, o, d, t_lo, t_init0, shadow=False)
+        t_best, tri = out[0], out[1]
+        return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
     if _windowed_enabled(pb):
         t_best, slot, octs = _windowed_sweep(pb, o, d, t_lo, t_init0, shadow=False)
         tri, found = _slot_to_tri(pb, octs, slot, n)
         return _winner_uv(tables, o, d, found, t_best, tri)
-    if _binned_enabled(pb):
-        out = _binned_sweep(pb, o, d, t_lo, t_init0, shadow=False)
-        t_best, tri = out[0], out[1]
-        return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
 
     t_best, tri = packet_closest_pb(pb, o, d, t_lo=t_lo, t_init0=t_init0)
     return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
@@ -1356,16 +1359,16 @@ def packet_shadow(tables, o, d, *, t_max, active):
     t_bound = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     t_init0 = jnp.where(active, t_bound, -1.0)
 
+    if _binned_enabled(pb):  # explicit opt-in wins over the default
+        out = _binned_sweep(
+            pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
+        )
+        return (out[1] >= 0) & active
     if _windowed_enabled(pb):
         _, slot, _ = _windowed_sweep(
             pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
         )
         return (slot >= 0) & active
-    if _binned_enabled(pb):
-        out = _binned_sweep(
-            pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
-        )
-        return (out[1] >= 0) & active
 
     return packet_shadow_pb(pb, o, d, t_init0=t_init0) & active
 

@@ -843,7 +843,9 @@ def render_sample(
     # between bounces; s["slot"] carries each lane's output position.
     # Instanced scenes whose BLAS walks ride the beam kernel need the
     # same treatment (their material rays straddle octants identically).
-    repack = _beam_occlusion(tables) and not os.environ.get("VKRT_NO_REPACK")
+    repack = (
+        _beam_occlusion(tables) or bool(os.environ.get("VKRT_FORCE_REPACK"))
+    ) and not os.environ.get("VKRT_NO_REPACK")
     slot = None
     if lane_idx is None and repack:
         order, _ = _block_order(width, height)
