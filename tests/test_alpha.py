@@ -192,6 +192,7 @@ def test_alpha_closest_matches_oracle_dense():
     _check_against_oracle(scene, tables)
 
 
+@pytest.mark.slow
 def test_alpha_closest_matches_oracle_packet(monkeypatch):
     monkeypatch.setenv("VKRT_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("VKRT_FORCE_PACKET", "1")
@@ -245,6 +246,7 @@ def test_mask_only_scene_is_deterministic_and_fast_path():
     np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
 
 
+@pytest.mark.slow
 def test_alpha_end_to_end_render():
     """Full render of the alpha scene: smoke + dense-vs-packet equivalence."""
     from vulkan_raytracer_tpu.render.integrator import render_sample

@@ -5,12 +5,14 @@ The reference exposes rebuild()/update() for mutated scenes
 Scene.upload().  Moving a node must change the render."""
 
 import numpy as np
+import pytest
 
 from vulkan_raytracer_tpu.render.renderer import render_image
 from vulkan_raytracer_tpu.scene.builtin import cornell_box_scene
 from vulkan_raytracer_tpu.scene.camera import Camera
 
 
+@pytest.mark.slow
 def test_rebuild_after_node_transform():
     s = cornell_box_scene()
     cam = Camera(
@@ -42,6 +44,7 @@ def _move_node(s, node, dx):
             ).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_refit_matches_rebuild():
     """Scene.refit == accelerationstructure.cpp update(): same image as a
     full rebuild after a transform change (topology preserved)."""
@@ -60,6 +63,7 @@ def test_refit_matches_rebuild():
     np.testing.assert_allclose(img_r, img_b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_refit_beats_rebuild_on_large_scene():
     """VERDICT r1 item 7: refit must be cheaper than a full rebuild on a
     >=100k-triangle scene."""
@@ -85,3 +89,32 @@ def test_refit_beats_rebuild_on_large_scene():
     np.testing.assert_allclose(
         np.sort(np.asarray(refit.v0.x)), np.sort(np.asarray(rebuilt.v0.x)), atol=1e-6
     )
+
+
+def test_refit_matches_rebuild_traversal_level():
+    """Fast default-tier sibling of the image-level refit test: refit and
+    rebuild must agree at the traversal level (same hits over a ray grid)
+    without paying an integrator compile family."""
+    import jax.numpy as jnp
+
+    from vulkan_raytracer_tpu.ops.traverse import trace_closest
+
+    s = cornell_box_scene()
+    t0 = s.upload()
+    _move_node(s, s.root.children[5], 0.4)
+    refit = s.refit(t0)
+    rebuilt = s.upload()
+
+    rng = np.random.default_rng(7)
+    n = 256
+    o = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32) + [0, 1, 0]
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = jnp.asarray(o), jnp.asarray(d)
+    act = jnp.ones((n,), bool)
+    (tr, trir, _, _), _ = trace_closest(refit.bvh, ov, dv, t_min=1e-4,
+                                        t_max=1e32, active=act)
+    (tb, trib, _, _), _ = trace_closest(rebuilt.bvh, ov, dv, t_min=1e-4,
+                                        t_max=1e32, active=act)
+    np.testing.assert_array_equal(np.asarray(trir), np.asarray(trib))
+    np.testing.assert_allclose(np.asarray(tr), np.asarray(tb), rtol=1e-6)

@@ -22,6 +22,7 @@ stacked emissive panels at separations straddling ``1e-4 * dist``:
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from vulkan_raytracer_tpu.ops.math3 import V3
 from vulkan_raytracer_tpu.render import integrator as I
@@ -159,6 +160,7 @@ def test_verify_deviation_confined_to_band():
     assert ours.all()  # occlusion semantics: all accepted (the deviation)
 
 
+@pytest.mark.slow
 def test_two_panel_renders_match_oracle():
     """End-to-end consistency at a separation straddling the band."""
     cam = Camera(

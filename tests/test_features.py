@@ -28,6 +28,7 @@ def floor_scene() -> Scene:
     return s
 
 
+@pytest.mark.slow
 def test_point_light_matches_oracle_and_inverse_square():
     s = floor_scene()
     s.point_lights.append(
@@ -42,6 +43,7 @@ def test_point_light_matches_oracle_and_inverse_square():
     assert img.mean() > 1e-2  # lit by the point light
 
 
+@pytest.mark.slow
 def test_point_light_range_attenuation():
     """range!=0 windows the light (lightsample.glsl:31-33)."""
     def render_with_range(rng_val):
@@ -58,6 +60,7 @@ def test_point_light_range_attenuation():
     assert windowed.mean() < unbounded.mean()
 
 
+@pytest.mark.slow
 def test_directional_light_matches_oracle():
     s = floor_scene()
     s.directional_lights.append(
@@ -74,6 +77,7 @@ def test_directional_light_matches_oracle():
     assert img.mean() > 1e-2
 
 
+@pytest.mark.slow
 def test_mixed_analytic_and_emissive_strategies():
     """Both strategies present -> 50/50 pick with pdf /2 (lightsample.glsl:150,161)."""
     s = cornell_box_scene()
@@ -87,6 +91,7 @@ def test_mixed_analytic_and_emissive_strategies():
     assert np.sqrt(np.mean((img - ref) ** 2)) < 2e-3
 
 
+@pytest.mark.slow
 def test_skybox_equirect_lighting():
     """Miss lanes sample the environment (skybox.rmiss); a bright synthetic
     sky illuminates the floor through bounced rays and shows in misses."""
@@ -201,6 +206,7 @@ def test_multi_model_composition(tmp_path):
     assert x.max() > 2.0  # second copy translated
 
 
+@pytest.mark.slow
 def test_textured_material_modulation():
     """baseColour texture modulates the factor (hit.rchit:77-79)."""
     s = floor_scene()
@@ -227,6 +233,7 @@ def test_textured_material_modulation():
     assert (lum > np.median(lit) * 3).sum() > 10
 
 
+@pytest.mark.slow
 def test_physical_nee_weighting_brightens_direct_light():
     """'physical' NEE weighting removes the reference's estimator quirk
     (raygen.rgen:54-83 scales NEE by the hit's own BSDF sample); the
@@ -244,6 +251,7 @@ def test_physical_nee_weighting_brightens_direct_light():
     assert np.isfinite(phys).all()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_matches_straight_render(tmp_path):
     """2 spp + resumed 2 spp == straight 4 spp (same sample indices)."""
     import numpy as np
@@ -264,6 +272,7 @@ def test_checkpoint_resume_matches_straight_render(tmp_path):
     assert np.abs(b - c).max() <= 1
 
 
+@pytest.mark.slow
 def test_resume_rejects_mismatched_shape(tmp_path):
     import pytest as _pytest
 
@@ -302,6 +311,7 @@ def test_resume_rejects_mismatched_camera_and_settings(tmp_path):
                   "--output", str(tmp_path / "d.png")])
 
 
+@pytest.mark.slow
 def test_hdr_output_shares_the_png_accumulation(tmp_path):
     """--hdr-output must come from the SAME accumulation as the PNG
     (one render per invocation), honouring --resume: hdr == acc/total."""

@@ -56,6 +56,7 @@ def test_grid_closest_matches_brute_force(soup):
     np.testing.assert_allclose(np.asarray(ug)[m], np.asarray(ub)[m], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grid_closest_respects_tmax_and_active(soup):
     t, *_ = soup
     o, d, ov, dv = _rays(100, 6)
@@ -70,6 +71,7 @@ def test_grid_closest_respects_tmax_and_active(soup):
     assert (np.asarray(tri2) == -1).all()
 
 
+@pytest.mark.slow
 def test_grid_shadow_matches_brute_force(soup):
     t, v0, v1, v2 = soup
     o, d, ov, dv = _rays(300, 7)
@@ -85,6 +87,7 @@ def test_grid_shadow_matches_brute_force(soup):
     np.testing.assert_array_equal(np.asarray(occ), want)
 
 
+@pytest.mark.slow
 def test_grid_rays_from_inside(soup):
     """Rays originating inside the grid volume (every bounce ray)."""
     t, v0, v1, v2 = soup

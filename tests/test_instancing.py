@@ -109,6 +109,7 @@ def _cam():
     )
 
 
+@pytest.mark.slow
 def test_instanced_upload_is_o_tris_plus_instances():
     """100 instances of one prototype upload prototype-sized columns."""
     s = Scene()
@@ -129,6 +130,7 @@ def test_instanced_upload_is_o_tris_plus_instances():
     assert tf.num_triangles == 200_000
 
 
+@pytest.mark.slow
 def test_instanced_render_matches_flattened():
     """Same scene, both uploads, shared RNG -> same image (fp tolerance)."""
     s = _instanced_scene()
@@ -157,6 +159,7 @@ def test_instanced_emissive_cdf_covers_instances():
     assert p[:2].sum() > 2.5 * p[2:].sum()
 
 
+@pytest.mark.slow
 def test_instanced_refit_moves_instances():
     """refit() updates transforms in O(instances); matches a fresh upload."""
     s = _instanced_scene(n_soup_instances=3)
@@ -180,6 +183,7 @@ def test_instanced_refit_moves_instances():
     assert _rmse(a, c) > 1e-4
 
 
+@pytest.mark.slow
 def test_instanced_alpha_mask_texture():
     """MASK alpha with a texture through the encoded-id resample loop."""
     s = Scene()
@@ -238,6 +242,7 @@ def test_auto_policy(monkeypatch):
     assert s._should_instance("auto")
 
 
+@pytest.mark.slow
 def test_instanced_big_prototype_blas_branch(monkeypatch):
     """Prototypes above DENSE_MAX_TRIS walk a per-prototype threaded BLAS
     inside the instance scan; forced here by shrinking the threshold."""
@@ -255,6 +260,7 @@ def test_instanced_big_prototype_blas_branch(monkeypatch):
     assert _rmse(a, b) < RMSE_BAR
 
 
+@pytest.mark.slow
 def test_instanced_big_prototype_packet_blas(monkeypatch):
     """On TPU the big-prototype BLAS walk rides the Pallas beam kernel
     (ops/instanced.py packet branch); driven here in interpret mode and

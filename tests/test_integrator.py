@@ -27,6 +27,7 @@ def cam():
     )
 
 
+@pytest.mark.slow
 def test_render_finite_nonnegative(tables, cam):
     img, rays = render_image(tables, cam, W, H, spp=4, max_depth=3, tonemap=False)
     assert img.shape == (H, W, 3)
@@ -44,6 +45,7 @@ def test_render_deterministic(tables, cam):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_progressive_matches_batch(tables, cam):
     """Renderer.draw_frame accumulation == render_image at equal samples."""
     r = Renderer(tables, cam, W, H, max_depth=2)
@@ -55,6 +57,7 @@ def test_progressive_matches_batch(tables, cam):
     np.testing.assert_allclose(prog, batch, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spp_convergence(tables, cam):
     """More samples converge toward the many-spp mean (MC consistency)."""
     ref, _ = render_image(tables, cam, W, H, spp=96, max_depth=3, tonemap=False)
@@ -65,6 +68,7 @@ def test_spp_convergence(tables, cam):
     assert err_b < err_a
 
 
+@pytest.mark.slow
 def test_preview_sample_terminates_early(tables, cam):
     """Sample 0 is the fast preview (raygen.rgen:64): depth limited, centre
     jitter; it must still produce a lit image."""
@@ -82,6 +86,7 @@ def I_render(tables, cam, sample):
     return np.asarray(val), rays
 
 
+@pytest.mark.slow
 def test_emissive_mis_weight_below_one(tables, cam):
     """Terminal emissive hits after bounce>0 are MIS-weighted; the light seen
     directly (bounce 0) is unweighted."""
@@ -91,6 +96,7 @@ def test_emissive_mis_weight_below_one(tables, cam):
     assert bright.max() > 9.0
 
 
+@pytest.mark.slow
 def test_nee_prune_bit_identical(tables, cam, monkeypatch):
     """The NdotL/black-light NEE prune (sample_lights) must not change the
     image on opaque scenes: pruned lanes' contributions are provably zero
@@ -113,6 +119,7 @@ def test_nee_prune_bit_identical(tables, cam, monkeypatch):
     assert rays_on <= rays_off
 
 
+@pytest.mark.slow
 def test_banded_render_matches_single_pass(monkeypatch):
     """Large-frame lane banding (renderer.MAX_LANES_PER_PASS) is exact."""
     import numpy as np

@@ -48,6 +48,7 @@ def test_fleet_mesh_covers_all_devices():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+@pytest.mark.slow
 def test_multihost_render_matches_single_device():
     tables = cornell_box_scene().upload()
     img_m, rays_m = render_image_multihost(

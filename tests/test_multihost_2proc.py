@@ -34,6 +34,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_fleet_matches_single_process(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"host{i}.npz") for i in range(2)]

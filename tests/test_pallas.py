@@ -18,6 +18,7 @@ def interpret():
     os.environ.pop("VKRT_PALLAS_INTERPRET", None)
 
 
+@pytest.mark.slow
 def test_pallas_closest_matches_dense(interpret):
     from vulkan_raytracer_tpu.ops.pallas_dense import pallas_closest, pallas_ok
 

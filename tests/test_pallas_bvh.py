@@ -28,6 +28,7 @@ def _rays(rng, n, spread=0.9, ylift=1.0):
     return ov, dv
 
 
+@pytest.mark.slow
 def test_packet_closest_matches_dense_cornell(interpret):
     from vulkan_raytracer_tpu.ops.pallas_bvh import packet_closest, packet_ok
 

@@ -29,6 +29,7 @@ def test_sharded_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+@pytest.mark.slow
 def test_sharded_pads_non_divisible_lane_counts():
     """25x5 = 125 pixels on 8 devices: padded duplicate lanes are sliced off
     and the image matches single-device exactly (VERDICT r1 item 9)."""
@@ -47,6 +48,7 @@ def test_sharded_pads_non_divisible_lane_counts():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+@pytest.mark.slow
 def test_sharded_banded_path_matches(monkeypatch):
     """Force per-chip banding + sample chunking (the round-2 verdict gap:
     the sharded path now reuses the single-chip block-swizzle/band/wave
@@ -73,6 +75,7 @@ def test_sharded_banded_path_matches(monkeypatch):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+@pytest.mark.slow
 def test_sharded_instanced_tables_replicate():
     """Instanced SceneTables (tuple-of-groups pytree) shard_map-replicate and
     render identically to the single-device instanced path."""

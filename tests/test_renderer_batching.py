@@ -40,6 +40,7 @@ def _per_sample_sum(t, vi, pi, w, h, spp, depth):
     return acc
 
 
+@pytest.mark.slow
 def test_batched_waves_match_per_sample(setup):
     t, cam, vi, pi = setup
     w = h = 24
@@ -48,6 +49,7 @@ def test_batched_waves_match_per_sample(setup):
     np.testing.assert_allclose(np.asarray(img), ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_banded_waves_match_per_sample(setup, monkeypatch):
     """Force the banded path with a tiny lane budget: 24x24 x 4spp at a
     640-lane cap exercises band splitting, in-band sample batching, the
@@ -58,3 +60,19 @@ def test_banded_waves_match_per_sample(setup, monkeypatch):
     img, _ = render_image(t, cam, w, h, spp=4, max_depth=3, tonemap=False)
     ref = _per_sample_sum(t, vi, pi, w, h, 4, 3).reshape(h, w, 3) / 4.0
     np.testing.assert_allclose(np.asarray(img), ref, atol=1e-5)
+
+
+def test_banded_tiny_matches_batch(setup, monkeypatch):
+    """Fast default-tier sibling of the banded equivalence render: force
+    banding at a tiny frame by shrinking MAX_LANES_PER_PASS so the
+    band x sample-chunk loop runs in seconds (the full-size variants
+    above are the slow tier)."""
+    t, cam, vi, pi = setup
+    w = h = 16
+    img_ref, rays_ref = render_image(t, cam, w, h, spp=2, max_depth=2,
+                                     tonemap=False)
+    monkeypatch.setattr(rnd, "MAX_LANES_PER_PASS", 256)
+    img_band, rays_band = render_image(t, cam, w, h, spp=2, max_depth=2,
+                                       tonemap=False)
+    assert rays_band == rays_ref
+    np.testing.assert_array_equal(np.asarray(img_band), np.asarray(img_ref))

@@ -54,6 +54,7 @@ def test_cornell_matches_oracle():
     assert img_j.mean() > 1e-3  # actually lit
 
 
+@pytest.mark.slow
 def test_glass_sphere_matches_oracle():
     """Transmission + refraction + Beer-Lambert volume absorption."""
     tables = glass_sphere_scene(subdiv=2).upload()
@@ -66,6 +67,7 @@ def test_glass_sphere_matches_oracle():
     assert r < RMSE_BAR, f"glass RMSE {r} vs oracle exceeds bar"
 
 
+@pytest.mark.slow
 def test_dispersive_glass_matches_oracle():
     """Spectral dispersion: wavelength collapse + Cauchy ior fit."""
     tables = glass_sphere_scene(subdiv=2, dispersion=0.2).upload()
@@ -78,6 +80,7 @@ def test_dispersive_glass_matches_oracle():
     assert r < RMSE_BAR, f"dispersion RMSE {r} vs oracle exceeds bar"
 
 
+@pytest.mark.slow
 def test_thin_glass_matches_oracle():
     tables = glass_sphere_scene(subdiv=2, thin=True).upload()
     cam = Camera(
@@ -170,6 +173,7 @@ def _textured_aniso_scene(with_textures=True):
     return s
 
 
+@pytest.mark.slow
 def test_anisotropy_matches_oracle():
     """Anisotropic GGX (strength+rotation factors, no textures)."""
     tables = _textured_aniso_scene(with_textures=False).upload()
@@ -183,6 +187,7 @@ def test_anisotropy_matches_oracle():
     assert img_j.mean() > 1e-3
 
 
+@pytest.mark.slow
 def test_textures_normalmap_aniso_match_oracle():
     """Base/normal/MR/aniso/emissive textures through both transcriptions."""
     tables = _textured_aniso_scene(with_textures=True).upload()

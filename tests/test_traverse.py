@@ -1,5 +1,6 @@
 """BVH build + traversal correctness vs brute-force oracles on random scenes."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_closest_matches_brute_force():
     np.testing.assert_allclose(np.asarray(v)[hitm], np.asarray(vb)[hitm], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_closest_respects_active_and_tmax():
     v0, v1, v2 = random_tris(50, 4)
     bvh = build_bvh(v0, v1, v2, leaf_size=8)
