@@ -232,10 +232,10 @@ def main(argv=None) -> int:
     if args.interactive:
         from .viewer import run_viewer
 
-        # interactive cap: 320x240 (up from round 2's 160x120 — Cornell-class
-        # scenes render ~8 ms/sample at this size on chip; application.cpp:346-408
-        # runs 800x600, still out of reach for >64k-tri scenes, DESIGN.md §3)
-        run_viewer(tables, camera, min(width, 320), min(height, 240), args.max_ray_depth)
+        # full-resolution progressive loop (800x600 default, main.cpp:10);
+        # the viewer decimates the display image to the terminal cell grid
+        # on device, so the render size no longer needs a cap
+        run_viewer(tables, camera, width, height, args.max_ray_depth)
         return 0
 
     if args.progressive:
@@ -247,7 +247,7 @@ def main(argv=None) -> int:
             img8 = r.draw_frame()
             log.info("frame %d (%.1f ms)", i, 1e3 * (time.perf_counter() - t0))
         write_png(args.output, img8)
-        log.info("wrote %s after %d samples (%d rays)", args.output, args.spp, r.total_rays)
+        log.info("wrote %s after %d samples (%d rays)", args.output, args.spp, r.rays_traced)
         return 0
 
     profiler = None

@@ -225,6 +225,47 @@ def _postprocess(acc, spp, tonemap, as_uint8):
     return img
 
 
+@functools.partial(
+    jax.jit,
+    static_argnums=(3, 4, 6, 7, 8),
+    donate_argnums=(5,),
+)
+def _frame_step(tables, view_inv, proj_inv, width, height, accum,
+                max_depth, disp_h, disp_w, sample_count):
+    """ONE device program per interactive frame: render the progressive
+    sample, accumulate (donated buffer — no copy), tonemap, quantise to
+    uint8 and mean-pool to the display size.  The round-3 viewer issued
+    ~6 separate dispatches per frame (render, add, divide, tonemap, clip,
+    plus a ray-counter sync); over the tunnelled chip each dispatch costs
+    a host round trip, which was ~97% of the 79 ms frame (12.7 fps at
+    320x240, DESIGN.md).  Fusing them is the swapchain-present analogue
+    (raytracer.cpp:518-533 copies on-device too)."""
+    radiance, rays = render_sample(
+        tables, view_inv, proj_inv, width, height, sample_count, max_depth
+    )
+    preview = sample_count == jnp.uint32(0)
+    # the preview sample is excluded from the accumulation buffer
+    # (raygen.rgen:95-96): it is displayed directly and then discarded
+    accum = jnp.where(preview, jnp.zeros_like(radiance), accum + radiance)
+    display = accum / jnp.maximum(sample_count, 1).astype(jnp.float32)
+    img = reinhard_jodie(jnp.where(preview, radiance, display))
+    img8 = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    img8 = img8.reshape(height, width, 3)
+    if (disp_h, disp_w) != (height, width):
+        # decimate to the terminal cell grid on device: fetch disp_h*disp_w
+        # cells instead of the full frame (a tty cannot show 800x600 cells;
+        # the decimation IS the present blit)
+        fy, fx = height // disp_h, width // disp_w
+        img8 = (
+            img8[: disp_h * fy, : disp_w * fx]
+            .reshape(disp_h, fy, disp_w, fx, 3)
+            .astype(jnp.uint16)
+            .mean(axis=(1, 3))
+            .astype(jnp.uint8)
+        )
+    return accum, img8, rays
+
+
 class Renderer:
     """Progressive renderer with the reference's frame-loop semantics.
 
@@ -249,6 +290,7 @@ class Renderer:
         self.sample_count = 0
         self.accum = jnp.zeros((width * height, 3), jnp.float32)
         self.total_rays = 0
+        self._rays_pending = []  # device counters, folded lazily
         camera.aspect = width / height
 
     def handle_resize(self, width: int, height: int) -> None:
@@ -261,32 +303,35 @@ class Renderer:
     def reset_accumulation(self) -> None:
         self.sample_count = 0
 
-    def draw_frame(self) -> np.ndarray:
-        """Render one progressive sample; returns the tonemapped (H, W, 3)
-        uint8 display image."""
+    def _fold_rays(self) -> None:
+        if self._rays_pending:
+            self.total_rays += int(
+                np.sum([np.asarray(r, np.int64) for r in self._rays_pending])
+            )
+            self._rays_pending = []
+
+    @property
+    def rays_traced(self) -> int:
+        self._fold_rays()
+        return self.total_rays
+
+    def draw_frame(self, display_size=None) -> np.ndarray:
+        """Render one progressive sample; returns the tonemapped uint8
+        display image — (H, W, 3), or ``display_size`` = (disp_h, disp_w)
+        mean-pooled on device (interactive present path)."""
         if self.camera.position_changed or self.camera.direction_changed:
             self.sample_count = 0  # raytracer.cpp:503
             self.camera.position_changed = False
             self.camera.direction_changed = False
         view_inv, proj_inv = camera_uniforms(self.camera)
-        radiance, rays = _render_one(
-            self.tables,
-            view_inv,
-            proj_inv,
-            self.width,
-            self.height,
+        disp_h, disp_w = display_size or (self.height, self.width)
+        self.accum, img8, rays = _frame_step(
+            self.tables, view_inv, proj_inv, self.width, self.height,
+            self.accum, self.max_depth, disp_h, disp_w,
             jnp.uint32(self.sample_count),
-            self.max_depth,
         )
-        self.total_rays += int(jax.device_get(rays))
-        if self.sample_count == 0:
-            # preview frame: accumulation cleared, value shown directly
-            self.accum = jnp.zeros_like(self.accum)
-            display = radiance
-        else:
-            self.accum = self.accum + radiance
-            display = self.accum / jnp.float32(self.sample_count)
+        # the ray counter stays on device: a per-frame device_get would
+        # serialise the frame loop on the host link
+        self._rays_pending.append(rays)
         self.sample_count += 1
-        img = reinhard_jodie(display)
-        img8 = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
-        return np.asarray(jax.device_get(img8)).reshape(self.height, self.width, 3)
+        return np.asarray(jax.device_get(img8))

@@ -139,6 +139,20 @@ def _present(img: np.ndarray) -> str:
     return "\n".join(rows)
 
 
+def display_size(width: int, height: int, term=None):
+    """Display cells for a (width, height) render on the current terminal:
+    half-block rows give 2 vertical pixels per text row.  The render runs
+    at full resolution on device; the uint8 display image is mean-pooled
+    to this size ON DEVICE before the single host fetch (the terminal is
+    the swapchain here, and it cannot show more cells than it has)."""
+    import shutil
+
+    term = term or shutil.get_terminal_size((100, 32))
+    dw = max(min(width, term.columns - 2), 2)
+    dh = max(min(height, 2 * (term.lines - 3)), 2)
+    return dh, dw
+
+
 def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: int = 4):
     """Progressive interactive loop (q to quit).  Requires a tty."""
     import termios
@@ -147,6 +161,7 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
     if not sys.stdin.isatty():
         raise RuntimeError("interactive viewer needs a tty")
     renderer = Renderer(tables, camera, width, height, max_depth)
+    disp = display_size(width, height)
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
@@ -202,7 +217,7 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
                 break
 
             t0 = time.perf_counter()
-            img = renderer.draw_frame()
+            img = renderer.draw_frame(display_size=disp)
             frame_ms = 1e3 * (time.perf_counter() - t0)
             sys.stdout.write("\x1b[H")  # home
             sys.stdout.write(_present(img))
@@ -216,4 +231,4 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
         sys.stdout.write("\x1b[?1002l\x1b[?1006l")
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
         sys.stdout.write("\x1b[0m\n")
-    log.info("viewer closed after %d samples, %d rays", renderer.sample_count, renderer.total_rays)
+    log.info("viewer closed after %d samples, %d rays", renderer.sample_count, renderer.rays_traced)
