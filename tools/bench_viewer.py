@@ -57,5 +57,41 @@ def main():
     )
 
 
+
+
+def main_pipelined():
+    """Same loop with swapchain-latency pipelining (fetch N-1 while N runs)."""
+    w, h, depth = 800, 600, 5
+    from vulkan_raytracer_tpu.render.renderer import Renderer
+    from vulkan_raytracer_tpu.scene.builtin import cornell_box_scene
+    from vulkan_raytracer_tpu.scene.camera import Camera
+    from vulkan_raytracer_tpu.viewer import _present, display_size
+
+    tables = cornell_box_scene().upload()
+    cam = Camera(position=np.array([0.0, 1.0, 3.0]),
+                 direction=np.array([0.0, 0.0, -1.0]))
+    r = Renderer(tables, cam, w, h, max_depth=depth)
+
+    class T:
+        columns, lines = 100, 32
+
+    disp = display_size(w, h, term=T)
+    r.draw_frame(display_size=disp, pipeline=True)  # compile + prime
+    n = 30
+    t0 = time.perf_counter()
+    shown = 0
+    for _ in range(n):
+        img = r.draw_frame(display_size=disp, pipeline=True)
+        if img is not None:
+            _present(img)
+            shown += 1
+    t_total = time.perf_counter() - t0
+    print(f"{w}x{h} depth {depth} PIPELINED: {n / t_total:6.2f} fps "
+          f"({1e3 * t_total / n:.1f} ms/frame, {shown} presented)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "pipelined" in sys.argv:
+        main_pipelined()
+    else:
+        main()

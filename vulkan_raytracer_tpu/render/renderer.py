@@ -315,10 +315,17 @@ class Renderer:
         self._fold_rays()
         return self.total_rays
 
-    def draw_frame(self, display_size=None) -> np.ndarray:
+    def draw_frame(self, display_size=None, pipeline: bool = False):
         """Render one progressive sample; returns the tonemapped uint8
         display image — (H, W, 3), or ``display_size`` = (disp_h, disp_w)
-        mean-pooled on device (interactive present path)."""
+        mean-pooled on device (interactive present path).
+
+        ``pipeline=True`` is the swapchain-latency mode: the call enqueues
+        frame N and returns frame N-1's display image (None on the very
+        first call), so the host fetch of one frame overlaps the next
+        frame's device execution — the same one-frame latency a swapchain
+        present has (raytracer.cpp:518-533).  jax dispatch is async; only
+        the device_get blocks."""
         if self.camera.position_changed or self.camera.direction_changed:
             self.sample_count = 0  # raytracer.cpp:503
             self.camera.position_changed = False
@@ -334,4 +341,7 @@ class Renderer:
         # serialise the frame loop on the host link
         self._rays_pending.append(rays)
         self.sample_count += 1
-        return np.asarray(jax.device_get(img8))
+        if not pipeline:
+            return np.asarray(jax.device_get(img8))
+        prev, self._inflight = getattr(self, "_inflight", None), img8
+        return np.asarray(jax.device_get(prev)) if prev is not None else None

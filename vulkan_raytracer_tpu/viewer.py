@@ -217,8 +217,12 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
                 break
 
             t0 = time.perf_counter()
-            img = renderer.draw_frame(display_size=disp)
+            # swapchain-latency pipelining: present frame N-1 while N
+            # renders (None on the very first call: nothing to show yet)
+            img = renderer.draw_frame(display_size=disp, pipeline=True)
             frame_ms = 1e3 * (time.perf_counter() - t0)
+            if img is None:
+                continue
             sys.stdout.write("\x1b[H")  # home
             sys.stdout.write(_present(img))
             sys.stdout.write(
