@@ -80,6 +80,13 @@ def _run_fleet(pid: int, nprocs: int, out_path: str) -> None:
     assert jax.device_count() == 4 * nprocs, jax.device_count()
     assert is_io_host() == (pid == 0)
 
+    if os.environ.get("VKRT_TEST_DIE_EARLY") and pid == 1:
+        # fault injection (tests/test_multihost_2proc.py): this host
+        # crashes after fleet formation, before any collective - the
+        # survivor must DETECT the dead peer within the collective
+        # deadline, not hang
+        os._exit(17)
+
     tables = cornell_box_scene().upload()
     if pid != 0:
         # diverge this host's scene bytes: double the first float leaf

@@ -83,3 +83,58 @@ def test_two_process_fleet_matches_single_process(tmp_path):
                                  tonemap=False)
     np.testing.assert_allclose(a["img"], np.asarray(img_1), rtol=1e-5, atol=1e-6)
     assert int(a["rays"]) == int(rays_1)
+
+
+@pytest.mark.slow
+def test_fleet_detects_dead_peer_without_hanging(tmp_path):
+    """Fault injection: host 1 crashes after fleet formation, before any
+    collective.  The failure-detection contract (SURVEY §5): the survivor
+    must DETECT the dead peer within the collective deadline - terminate,
+    classify the error as a peer/collective failure, and never emit a
+    result - rather than hang or compute garbage.  Measured behaviour:
+    Gloo context init hits DEADLINE_EXCEEDED (~30 s) and the coordination
+    service reports the crashed task; the survivor exits in ~2 min."""
+    port = _free_port()
+    outs = [str(tmp_path / f"host{i}.npz") for i in range(2)]
+    env = dict(os.environ, VKRT_TEST_DIE_EARLY="1")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), outs[i]],
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        logs = [p.communicate(timeout=420)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.communicate()
+        pytest.fail("survivor hung past the detection deadline")
+
+    assert procs[1].returncode == 17  # the injected crash
+    if os.path.exists(outs[0] + ".skip"):
+        # fleet could not even form on a starved machine - nothing to test
+        reason = open(outs[0] + ".skip").read()
+        if "distributed init failed" in reason:
+            pytest.skip(reason)
+        # detection path: the survivor classified the dead peer's
+        # collective as failed (deadline / unavailable / connection)
+        assert _looks_like_peer_failure(reason), reason
+    else:
+        assert _looks_like_peer_failure(logs[0]), logs[0][-2000:]
+    # the survivor must never have produced an image
+    assert not os.path.exists(outs[0])
+
+
+def _looks_like_peer_failure(text: str) -> bool:
+    import re
+
+    return bool(re.search(
+        r"DEADLINE_EXCEEDED|timed? ?out|unavailable|connection|crashed|"
+        r"failed", text, re.IGNORECASE))

@@ -90,3 +90,29 @@ def test_sharded_instanced_tables_replicate():
     img_1, rays_1 = render_image(tables, _cam(), 32, 16, spp=2, max_depth=2, tonemap=False)
     np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
     assert rays_s == rays_1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_windowed_packet_matches_single_device(monkeypatch):
+    """The round-4 windowed treelet walk must compose with shard_map: a
+    multi-treelet scene forced through the packet path renders the same
+    image sharded and single-device (pallas_call-in-shard_map seam)."""
+    from vulkan_raytracer_tpu.scene.builtin import triangle_soup_scene
+
+    monkeypatch.setenv("VKRT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VKRT_FORCE_PACKET", "1")
+    monkeypatch.setenv("VKRT_TREELET_TRIS", "128")
+    tables = triangle_soup_scene(n_tris=400, seed=3).upload()
+    assert tables.pbvh.n_treelets > 2
+    mesh = make_mesh()
+    cam = Camera(
+        position=np.array([0.0, 0.0, 4.0]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    w, h = 16, 16
+    img_s, rays_s = render_image_sharded(
+        tables, cam, w, h, spp=1, max_depth=2, mesh=mesh, tonemap=False
+    )
+    img_1, rays_1 = render_image(tables, cam, w, h, spp=1, max_depth=2,
+                                 tonemap=False)
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_1))
+    assert rays_s == rays_1
