@@ -92,3 +92,36 @@ def test_present_elides_repeated_colours():
     for x in range(5):
         t = noisy[0, x]
         assert f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m" in s2
+
+
+def test_sigwinch_resize_resets_accumulation():
+    """apply_resize = the GLFW framebuffer-resize callback's contract
+    (application.cpp:321-344 -> raytracer.cpp:493-499): new present grid,
+    accumulation reset, pipelined in-flight frame dropped."""
+    import os
+
+    from vulkan_raytracer_tpu.render.renderer import Renderer
+    from vulkan_raytracer_tpu.scene.builtin import cornell_box_scene
+    from vulkan_raytracer_tpu.viewer import apply_resize
+
+    t = cornell_box_scene().upload()
+    cam = Camera(
+        position=np.array([0.0, 1.0, 3.0]), direction=np.array([0.0, 0.0, -1.0])
+    )
+    r = Renderer(t, cam, 16, 16, max_depth=2)
+    r.draw_frame(display_size=(8, 8), pipeline=True)
+    r.draw_frame(display_size=(8, 8), pipeline=True)
+    assert r.sample_count == 2 and r._inflight is not None
+    assert float(np.abs(np.asarray(r.accum)).max()) > 0.0
+
+    term = os.terminal_size((40, 12))
+    disp = apply_resize(r, 16, 16, term=term)
+    assert disp == (16, 16)  # render smaller than the new terminal grid
+    assert r.sample_count == 0
+    assert r._inflight is None
+    assert not np.asarray(r.accum).any()
+
+    # smaller terminal than the render: grid clamps to the cell budget
+    tiny = os.terminal_size((10, 5))
+    disp2 = apply_resize(r, 16, 16, term=tiny)
+    assert disp2 == (2 * (5 - 3), 10 - 2)

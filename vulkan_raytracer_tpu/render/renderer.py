@@ -294,11 +294,14 @@ class Renderer:
         camera.aspect = width / height
 
     def handle_resize(self, width: int, height: int) -> None:
-        """raytracer.cpp:493-499: new images, reset accumulation."""
+        """raytracer.cpp:493-499: new images, reset accumulation.  Any
+        pipelined in-flight frame is dropped too: it was rendered for the
+        old present target (the swapchain analogue recreates images)."""
         self.width, self.height = width, height
         self.camera.aspect = width / height
         self.accum = jnp.zeros((width * height, 3), jnp.float32)
         self.sample_count = 0
+        self._inflight = None
 
     def reset_accumulation(self) -> None:
         self.sample_count = 0

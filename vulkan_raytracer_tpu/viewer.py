@@ -153,8 +153,21 @@ def display_size(width: int, height: int, term=None):
     return dh, dw
 
 
+def apply_resize(renderer, width: int, height: int, term=None):
+    """Live window-resize handling (application.cpp:321-344 →
+    raytracer.cpp:493-499): the terminal is the swapchain here, so a
+    SIGWINCH plays the role of the GLFW framebuffer-resize callback —
+    recompute the present (cell) grid and recreate images / reset
+    accumulation through :meth:`Renderer.handle_resize`.  Render
+    resolution is the CLI's, as in the reference's windowed mode; only
+    the present blit target changes.  Returns the new display grid."""
+    renderer.handle_resize(width, height)
+    return display_size(width, height, term=term)
+
+
 def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: int = 4):
     """Progressive interactive loop (q to quit).  Requires a tty."""
+    import signal
     import termios
     import tty
 
@@ -162,6 +175,12 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
         raise RuntimeError("interactive viewer needs a tty")
     renderer = Renderer(tables, camera, width, height, max_depth)
     disp = display_size(width, height)
+    resized = [False]
+
+    def _on_winch(signum, frame):
+        resized[0] = True  # handled at the top of the loop, not re-entrant
+
+    old_winch = signal.signal(signal.SIGWINCH, _on_winch)
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
@@ -176,6 +195,11 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
             now = time.perf_counter()
             dt = now - last
             last = now
+
+            if resized[0]:
+                resized[0] = False
+                disp = apply_resize(renderer, width, height)
+                sys.stdout.write("\x1b[2J")  # stale cells off the new grid
 
             events, pending = parse_input(pending + _read_chunk())
             quit_now = False
@@ -232,6 +256,7 @@ def run_viewer(tables, camera, width: int = 128, height: int = 96, max_depth: in
             )
             sys.stdout.flush()
     finally:
+        signal.signal(signal.SIGWINCH, old_winch)
         sys.stdout.write("\x1b[?1002l\x1b[?1006l")
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
         sys.stdout.write("\x1b[0m\n")
