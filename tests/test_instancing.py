@@ -278,3 +278,68 @@ def test_instanced_big_prototype_packet_blas(monkeypatch):
     b, _ = render_image(ti, _cam(), 16, 16, spp=2, max_depth=2, tonemap=False)
     assert a.mean() > 1e-3
     assert _rmse(a, b) < RMSE_BAR
+
+
+@pytest.mark.slow
+def test_instanced_windowed_blas_matches_plain(monkeypatch):
+    """Round 5: multi-treelet instanced BLAS prototypes ride the
+    tile-windowed treelet walk inside packet_closest_pb/_shadow_pb, the
+    same default the flattened scene entries use; pinned here against the
+    plain shared-beam sweep (VKRT_NO_WINDOWED) on the identical instanced
+    scene.  (Reference bar: instanced TLAS traversal shares the ordered
+    hardware walk, accelerationstructure.cpp:157-177.)"""
+    import jax.numpy as jnp
+
+    from vulkan_raytracer_tpu.ops.instanced import (
+        instanced_closest,
+        instanced_shadow,
+    )
+    from vulkan_raytracer_tpu.ops.math3 import V3
+    from vulkan_raytracer_tpu.scene import scenegraph as sg
+
+    monkeypatch.setattr(sg, "DENSE_MAX_TRIS", 50)  # soup prototype: 120 tris
+    monkeypatch.setenv("VKRT_TREELET_TRIS", "32")  # force a multi-treelet cut
+    monkeypatch.setenv("VKRT_PALLAS_INTERPRET", "1")
+    ti = _instanced_scene(n_soup_instances=4).upload(instancing=True)
+    pb = ti.inst.groups[0].pblas
+    assert pb is not None and pb.n_treelets > 1
+
+    rng = np.random.default_rng(11)
+    n = 256
+    # rays from a shell around the instance field, aimed inward with jitter
+    ang = rng.uniform(0, 2 * np.pi, n)
+    o = np.stack(
+        [4.5 * np.cos(ang), rng.uniform(-0.5, 2.5, n), 4.5 * np.sin(ang) - 0.7],
+        axis=1,
+    ).astype(np.float32)
+    tgt = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+    act = jnp.asarray(np.arange(n) % 5 != 0)
+
+    def closest():
+        return instanced_closest(ti, ov, dv, t_min=1e-3, t_max=1e32, active=act)
+
+    def shadow():
+        return instanced_shadow(ti, ov, dv, t_max=2.5, active=act)
+
+    tw, ew, uw, vw = closest()
+    ow = shadow()
+    monkeypatch.setenv("VKRT_NO_WINDOWED", "1")
+    tp, ep, up, vp = closest()
+    op = shadow()
+
+    ew_n, ep_n = np.asarray(ew), np.asarray(ep)
+    hit = ew_n >= 0
+    assert hit.any() and (~hit).any()
+    np.testing.assert_array_equal(hit, ep_n >= 0)
+    np.testing.assert_allclose(np.asarray(tw)[hit], np.asarray(tp)[hit], rtol=1e-6)
+    same = ew_n == ep_n  # ties at equal t may pick either triangle
+    assert same[hit].mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(uw)[hit & same], np.asarray(up)[hit & same], atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(ow), np.asarray(op))
+    assert np.asarray(ow).any()

@@ -57,9 +57,10 @@ def main():
         print(f"--- treelet_tris {tt}: K={pb.n_treelets} ---", flush=True)
 
         plain_c = jax.jit(
-            lambda o, d: pk.packet_closest_pb(pb, o, d, t_lo=t_lo, t_init0=t0)
+            lambda o, d: pk._plain_sweep_pb(pb, o, d, t_lo, t0, shadow=False)
         )
-        dt_p, (tb_p, tri_p) = timed(plain_c, ov, dv)
+        dt_p, (tb_p, slot_p, octs_p) = timed(plain_c, ov, dv)
+        tri_p, _ = pk._slot_to_tri(pb, octs_p, slot_p, n)
         print(f"plain    closest: {1e3 * dt_p:8.1f} ms  "
               f"{n / dt_p / 1e6:6.3f} Mrays/s", flush=True)
 
@@ -79,9 +80,12 @@ def main():
         # shadow variant on the same wave (NEE-shaped t_max)
         t0s = jnp.full((n,), 1.0, jnp.float32)
         plain_s = jax.jit(
-            lambda o, d: pk.packet_shadow_pb(pb, o, d, t_init0=t0s)
+            lambda o, d: pk._plain_sweep_pb(
+                pb, o, d, jnp.zeros((n,), jnp.float32), t0s, shadow=True
+            )
         )
-        dt_ps, occ_p = timed(plain_s, ov, dv)
+        dt_ps, out_p = timed(plain_s, ov, dv)
+        occ_p = out_p[1] >= 0
         win_s = jax.jit(
             lambda o, d: pk._windowed_sweep(
                 pb, o, d, jnp.zeros((n,), jnp.float32), t0s, shadow=True

@@ -635,6 +635,9 @@ def _wkernel(
     tb_ref[:] = t0_ref[:]
     sb_ref[:] = jnp.full((_TILE_S, _TILE_L), -1, jnp.int32)
     base_s[1] = _NEG_BIG  # leaf chunk base (valid across windows)
+    base_s[2] = _NEG_BIG  # node DATA chunk resident in nf_v/ni_v — the
+    # raw stream never changes, so residency survives window changes;
+    # only the cull CODES (base_s[0]) go stale when the beam bounds move
 
     row = pl.program_id(0) % 8
     oct_i = oct_ref[row, 0]
@@ -680,21 +683,31 @@ def _wkernel(
                     nb = pl.multiple_of(
                         (cur // NODE_CHUNK) * NODE_CHUNK, NODE_CHUNK
                     )
-                    rb = pl.multiple_of(nb // _TILE_L, _CROWS)
-                    cpf = pltpu.make_async_copy(
-                        nodes_f_hbm.at[oct_i, :, pl.ds(rb, _CROWS), :],
-                        nf_v,
-                        sems.at[0],
-                    )
-                    cpf.start()
-                    cpi = pltpu.make_async_copy(
-                        nodes_i_hbm.at[oct_i, :, pl.ds(rb, _CROWS), :],
-                        ni_v,
-                        sems.at[1],
-                    )
-                    cpi.start()
-                    cpf.wait()
-                    cpi.wait()
+
+                    # DMA only when the chunk is NOT already resident:
+                    # consecutive windows usually land in the same chunk
+                    # (a 2048-tri treelet spans ~256 of its 1024 nodes),
+                    # and their re-entry previously re-pulled the same
+                    # 32 KiB from HBM every time (round-5 fix; the
+                    # re-CULL below still runs — bounds moved)
+                    @pl.when(nb != base_s[2])
+                    def _():
+                        rb = pl.multiple_of(nb // _TILE_L, _CROWS)
+                        cpf = pltpu.make_async_copy(
+                            nodes_f_hbm.at[oct_i, :, pl.ds(rb, _CROWS), :],
+                            nf_v,
+                            sems.at[0],
+                        )
+                        cpf.start()
+                        cpi = pltpu.make_async_copy(
+                            nodes_i_hbm.at[oct_i, :, pl.ds(rb, _CROWS), :],
+                            ni_v,
+                            sems.at[1],
+                        )
+                        cpi.start()
+                        cpf.wait()
+                        cpi.wait()
+                        base_s[2] = nb
 
                     n_x, f_x = axis_bounds(nf_v[0], nf_v[3], olx, ohx, iax, ibx)
                     n_y, f_y = axis_bounds(nf_v[1], nf_v[4], oly, ohy, iay, iby)
@@ -852,7 +865,7 @@ def _windowed_sweep_call(
         scratch_shapes=[
             pltpu.SMEM((_CROWS, _TILE_L), jnp.int32),  # code_s
             pltpu.SMEM((9 * leaf_size, LEAF_CHUNK), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),  # code base, leaf base, data base
             pltpu.SMEM((1,), jnp.float32),
             pltpu.VMEM((6, _CROWS, _TILE_L), jnp.float32),  # nf_v
             pltpu.VMEM((2, _CROWS, _TILE_L), jnp.int32),  # ni_v
@@ -1297,10 +1310,11 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
     """Drop-in for dense_closest/trace_closest on big scenes.
 
     Alpha-agnostic (every triangle is a candidate); ``t_min`` may be a
-    scalar or per-lane (N,) array for the alpha resample loop.  Scenes
-    whose packet stream carries more than one treelet traverse via the
-    binned multi-pass walk (:func:`_binned_sweep`); small scenes (and
-    ``VKRT_NO_BINNED=1``) use the single shared-beam sweep.
+    scalar or per-lane (N,) array for the alpha resample loop.  Multi-
+    treelet scenes default to the tile-windowed treelet walk
+    (:func:`_windowed_sweep`, via :func:`packet_closest_pb`); single-
+    treelet scenes (and ``VKRT_NO_WINDOWED=1``) use the shared-beam
+    sweep; ``VKRT_BINNED=1`` opts into the pair-expansion walk.
     """
     pb: PacketBVH = tables.pbvh
     n = o.x.shape[0]
@@ -1312,10 +1326,6 @@ def packet_closest(tables, o, d, *, t_min, t_max, active):
         out = _binned_sweep(pb, o, d, t_lo, t_init0, shadow=False)
         t_best, tri = out[0], out[1]
         return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
-    if _windowed_enabled(pb):
-        t_best, slot, octs = _windowed_sweep(pb, o, d, t_lo, t_init0, shadow=False)
-        tri, found = _slot_to_tri(pb, octs, slot, n)
-        return _winner_uv(tables, o, d, found, t_best, tri)
 
     t_best, tri = packet_closest_pb(pb, o, d, t_lo=t_lo, t_init0=t_init0)
     return _winner_uv(tables, o, d, tri >= 0, t_best, tri)
@@ -1329,8 +1339,28 @@ def packet_closest_pb(pb: PacketBVH, o, d, *, t_lo, t_init0):
     and the instanced BLAS walk (ops/instanced.py) share: the latter calls
     it per instance group with object-space rays, where triangle ids must
     stay prototype-local for (instance, tri) encoding.  ``t_init0`` is the
-    per-lane upper bound with -1 marking dead lanes.
+    per-lane upper bound with -1 marking dead lanes.  Multi-treelet
+    streams ride the tile-windowed treelet walk (round 5: big instanced
+    prototypes get the same windowed gain as flattened scenes); single-
+    treelet streams use the shared-beam sweep.
     """
+    n = o.x.shape[0]
+    if _windowed_enabled(pb):
+        t_best, slot, octs = _windowed_sweep(
+            pb, o, d, t_lo, t_init0, shadow=False
+        )
+    else:
+        t_best, slot, octs = _plain_sweep_pb(
+            pb, o, d, t_lo, t_init0, shadow=False
+        )
+    tri, found = _slot_to_tri(pb, octs, slot, n)
+    return jnp.where(found, t_best, jnp.inf), tri
+
+
+def _plain_sweep_pb(pb: PacketBVH, o, d, t_lo, t_init0, shadow: bool):
+    """Single shared-beam sweep over the whole stream: (t, slot, octs),
+    sliced to the lane count.  The non-windowed building block (also the
+    A/B baseline tools/bench_windowed.py times against)."""
     n = o.x.shape[0]
     rays, t_init, _ = _prep_rays(o, d, t_init0)
     t_lo_p = jnp.pad(t_lo, (0, t_init.size - n)).reshape(t_init.shape)
@@ -1344,12 +1374,9 @@ def packet_closest_pb(pb: PacketBVH, o, d, *, t_lo, t_init0):
         t_lo_p,
         t_init,
         int(pb.leaf_size),
-        False,
+        shadow,
     )
-    t_best = t_best.reshape(-1)[:n]
-    slot = slot.reshape(-1)[:n]
-    tri, found = _slot_to_tri(pb, octs, slot, n)
-    return jnp.where(found, t_best, jnp.inf), tri
+    return t_best.reshape(-1)[:n], slot.reshape(-1)[:n], octs
 
 
 def packet_shadow(tables, o, d, *, t_max, active):
@@ -1364,11 +1391,6 @@ def packet_shadow(tables, o, d, *, t_max, active):
             pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
         )
         return (out[1] >= 0) & active
-    if _windowed_enabled(pb):
-        _, slot, _ = _windowed_sweep(
-            pb, o, d, jnp.zeros((n,), jnp.float32), t_init0, shadow=True
-        )
-        return (slot >= 0) & active
 
     return packet_shadow_pb(pb, o, d, t_init0=t_init0) & active
 
@@ -1376,21 +1398,13 @@ def packet_shadow(tables, o, d, *, t_max, active):
 def packet_shadow_pb(pb: PacketBVH, o, d, *, t_init0):
     """First-hit occlusion over a bare PacketBVH (tMin = 0); dead lanes
     (``t_init0 < 0``) report unoccluded.  Shared by the scene-level entry
-    and the instanced BLAS walk."""
+    and the instanced BLAS walk.  Multi-treelet streams ride the
+    tile-windowed treelet walk (x2.5 on NEE-shaped occlusion waves,
+    DESIGN.md §r4); single-treelet streams use the shared-beam sweep."""
     n = o.x.shape[0]
-    rays, t_init, _ = _prep_rays(o, d, t_init0)
-    t_lo = jnp.zeros_like(t_init)
-    bounds, octs = _tile_beam_bounds(rays, t_init)
-    _, slot = _packet_sweep(
-        (pb.nodes_f, pb.nodes_i, pb.leaves),
-        bounds,
-        octs,
-        _full_lims(pb, bounds.shape[0]),
-        rays,
-        t_lo,
-        t_init,
-        int(pb.leaf_size),
-        True,
-    )
-    slot = slot.reshape(-1)[:n]
+    zeros = jnp.zeros((n,), jnp.float32)
+    if _windowed_enabled(pb):
+        _, slot, _ = _windowed_sweep(pb, o, d, zeros, t_init0, shadow=True)
+        return slot >= 0
+    _, slot, _ = _plain_sweep_pb(pb, o, d, zeros, t_init0, shadow=True)
     return slot >= 0
