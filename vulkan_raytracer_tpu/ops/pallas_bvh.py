@@ -116,6 +116,9 @@ class PacketBVH:
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     leaf_size: int = dataclasses.field(metadata=dict(static=True))
     n_treelets: int = dataclasses.field(metadata=dict(static=True))
+    #: treelet granularity the cut was built at (refit reuses it instead
+    #: of re-running the upload-time probe)
+    cut_tris: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def _pad_np(x, m, fill=0.0):
@@ -137,9 +140,12 @@ MAX_TREELETS = 128
 TREELET_TRIS = 2048
 
 
-def build_packet_bvh(bvh) -> PacketBVH:
-    """Repack a ThreadedBVH into 8 per-octant packet streams (host-side)."""
-    from ..accel.bvh import octant_permutations, treelet_cut
+def _build_streams(bvh):
+    """The heavy half of :func:`build_packet_bvh`: the 8 per-octant node/
+    leaf streams plus the per-octant node position maps the (cheap) cut
+    tables are sliced from — shared across treelet-cut candidates by the
+    upload-time probe (:func:`_probe_treelet_cut`)."""
+    from ..accel.bvh import octant_permutations
 
     k = bvh.leaf_size
     if bvh.num_tri_slots >= 2**24 or bvh.num_nodes >= 2**24:
@@ -160,34 +166,12 @@ def build_packet_bvh(bvh) -> PacketBVH:
     ).reshape(-1, k * 9)
 
     perms = octant_permutations(amin, amax, first, miss)
-
-    # --- treelet frontier for the binned walk --------------------------
-    # pick max_tris so the cut fits MAX_TREELETS (each halving of the
-    # frontier roughly halves the count)
-    max_tris = max(int(os.environ.get("VKRT_TREELET_TRIS", TREELET_TRIS)), k)
-    # the windowed walk has no done-bit words, so its cut may be finer
-    # than the binned walk's 128 cap (VKRT_MAX_TREELETS tunes)
-    cap = int(os.environ.get("VKRT_MAX_TREELETS", MAX_TREELETS))
-    cut = treelet_cut(first, miss, k, max_tris)
-    while cut.shape[0] > cap:
-        max_tris *= 2
-        cut = treelet_cut(first, miss, k, max_tris)
-    kt = cut.shape[0]
-    ext = amax[cut] - amin[cut]
-    eps = 1e-5 * np.maximum(ext.max(axis=1, keepdims=True), 1e-3) + 1e-7
-    tl_box = np.concatenate([amin[cut] - eps, amax[cut] + eps], axis=1).astype(
-        np.float32
-    )
-    tl_lim = np.empty((8, kt, 2), np.int32)
-    tsize = (miss - np.arange(n))[cut]  # subtree node count, swap-invariant
+    pos8 = np.empty((8, n), np.int64)  # old node index -> stream position
 
     nf, ni, lv, tid = [], [], [], []
     for o in range(8):
         old = perms[o]  # new node index -> old node index
-        pos = np.empty(n, np.int64)  # old node index -> new position
-        pos[old] = np.arange(n)
-        tl_lim[o, :, 0] = pos[cut]
-        tl_lim[o, :, 1] = pos[cut] + tsize
+        pos8[o, old] = np.arange(n)
         fl_old = first_leaf[old]
         leafmask = fl_old >= 0
         # renumber leaves along this octant's preorder -> forward streaming
@@ -217,17 +201,174 @@ def build_packet_bvh(bvh) -> PacketBVH:
         lv.append(_pad_np(tri9[leaf_perm].T.astype(np.float32), LEAF_CHUNK))
         tid.append(tri_id.reshape(-1, k)[leaf_perm].reshape(-1).astype(np.int32))
 
-    return PacketBVH(
+    return dict(
         leaves=jnp.asarray(np.stack(lv)),
         tri_id=jnp.asarray(np.stack(tid)),
         nodes_f=jnp.asarray(np.stack(nf)),
         nodes_i=jnp.asarray(np.stack(ni)),
-        tl_box=jnp.asarray(tl_box),
-        tl_lim=jnp.asarray(tl_lim),
-        num_nodes=bvh.num_nodes,
-        leaf_size=k,
-        n_treelets=kt,
+        pos8=pos8,
     )
+
+
+def _cut_tables(bvh, pos8, max_tris: int):
+    """Treelet-cut tables for a given granularity (cheap per candidate).
+
+    Picks max_tris so the cut fits the cap (each halving of the frontier
+    roughly halves the count); the windowed walk has no done-bit words,
+    so its cut may be finer than the binned walk's 128 cap
+    (VKRT_MAX_TREELETS tunes)."""
+    from ..accel.bvh import treelet_cut
+
+    k = bvh.leaf_size
+    amin = np.asarray(bvh.aabb_min)
+    amax = np.asarray(bvh.aabb_max)
+    first = np.asarray(bvh.first_tri)
+    miss = np.asarray(bvh.miss)
+    n = first.shape[0]
+    cap = int(os.environ.get("VKRT_MAX_TREELETS", MAX_TREELETS))
+    max_tris = max(int(max_tris), k)
+    cut = treelet_cut(first, miss, k, max_tris)
+    while cut.shape[0] > cap:
+        max_tris *= 2
+        cut = treelet_cut(first, miss, k, max_tris)
+    kt = cut.shape[0]
+    ext = amax[cut] - amin[cut]
+    eps = 1e-5 * np.maximum(ext.max(axis=1, keepdims=True), 1e-3) + 1e-7
+    tl_box = np.concatenate([amin[cut] - eps, amax[cut] + eps], axis=1).astype(
+        np.float32
+    )
+    tsize = (miss - np.arange(n))[cut]  # subtree node count, swap-invariant
+    tl_lim = np.empty((8, kt, 2), np.int32)
+    for o in range(8):
+        tl_lim[o, :, 0] = pos8[o][cut]
+        tl_lim[o, :, 1] = pos8[o][cut] + tsize
+    return jnp.asarray(tl_box), jnp.asarray(tl_lim), kt
+
+
+def _assemble(bvh, streams, tl_box, tl_lim, kt, cut_tris=0) -> PacketBVH:
+    return PacketBVH(
+        leaves=streams["leaves"],
+        tri_id=streams["tri_id"],
+        nodes_f=streams["nodes_f"],
+        nodes_i=streams["nodes_i"],
+        tl_box=tl_box,
+        tl_lim=tl_lim,
+        num_nodes=bvh.num_nodes,
+        leaf_size=bvh.leaf_size,
+        n_treelets=kt,
+        cut_tris=cut_tris,
+    )
+
+
+def build_packet_bvh(bvh, max_tris=None) -> PacketBVH:
+    """Repack a ThreadedBVH into 8 per-octant packet streams (host-side).
+
+    Treelet granularity: ``max_tris`` argument > ``VKRT_TREELET_TRIS``
+    env > a measured upload-time probe on TPU (2-3 candidate cuts timed
+    on a synthetic bounce wave, :func:`_probe_treelet_cut` — treelet
+    preference is scene-shape-sensitive and the SA-heuristic predictor
+    was disproved, DESIGN.md §r4) > the ``TREELET_TRIS`` default."""
+    streams = _build_streams(bvh)
+    if max_tris is None:
+        env = os.environ.get("VKRT_TREELET_TRIS")
+        if env is not None:
+            max_tris = int(env)
+        else:
+            max_tris = _probe_treelet_cut(bvh, streams)
+    tl_box, tl_lim, kt = _cut_tables(bvh, streams["pos8"], max_tris)
+    return _assemble(bvh, streams, tl_box, tl_lim, kt, cut_tris=int(max_tris))
+
+
+#: candidate treelet granularities for the upload-time probe (measured:
+#: the 256k-tri hall prefers 2048, the displaced-sphere dragon 8192 —
+#: +9% there, DESIGN.md §r4)
+PROBE_CUTS = (2048, 8192)
+#: probe wave: lanes (64 tiles) per candidate timing rep
+_PROBE_LANES = 64 * _TILE
+
+
+def _probe_treelet_cut(bvh, streams) -> int:
+    """Pick treelet granularity by MEASUREMENT at upload (VERDICT r4
+    item 4): time the windowed closest-hit walk on a synthetic sorted
+    diffuse bounce wave (cosine lobes off random scene triangles) for
+    each candidate cut and keep the winner.  All candidates share the
+    node/leaf streams and — because the window tables are padded to the
+    treelet cap — one compiled kernel, so the probe costs one kernel
+    compile plus ~a second of timing, amortised over any real render.
+    Skipped off-TPU, for small scenes, and under VKRT_NO_TREELET_PROBE."""
+    import time as _time
+
+    if (
+        jax.default_backend() != "tpu"
+        or os.environ.get("VKRT_NO_TREELET_PROBE")
+        or bvh.num_tri_slots < 4 * PROBE_CUTS[-1]
+    ):
+        return TREELET_TRIS
+
+    from .math3 import V3 as _V3
+
+    # synthetic bounce wave: origins just off random triangle surfaces,
+    # cosine-distributed directions, production (octant, morton) sort
+    rng = np.random.default_rng(0)
+    v0 = np.asarray(bvh.tri_v0)
+    e1 = np.asarray(bvh.tri_e1)
+    e2 = np.asarray(bvh.tri_e2)
+    real = (np.abs(e1).sum(1) + np.abs(e2).sum(1)) > 0
+    idx = rng.choice(np.flatnonzero(real), _PROBE_LANES)
+    c = v0[idx] + (e1[idx] + e2[idx]) / 3.0
+    nrm = np.cross(e1[idx], e2[idx])
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    nrm *= np.where(rng.random(_PROBE_LANES) < 0.5, 1.0, -1.0)[:, None]
+    u1, u2 = rng.random(_PROBE_LANES), rng.random(_PROBE_LANES)
+    r = np.sqrt(u1)
+    phi = 2 * np.pi * u2
+    tang = np.cross(nrm, [0.577, 0.577, 0.577])
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-20)
+    bit = np.cross(nrm, tang)
+    d = (r * np.cos(phi))[:, None] * tang + (r * np.sin(phi))[:, None] * bit \
+        + np.sqrt(np.maximum(1 - u1, 0))[:, None] * nrm
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    root_lo = np.asarray(bvh.aabb_min[0])
+    root_hi = np.asarray(bvh.aabb_max[0])
+    diag = float(np.linalg.norm(root_hi - root_lo))
+    o = (c + 1e-4 * diag * nrm).astype(np.float32)
+    d = d.astype(np.float32)
+    cell = np.clip(
+        (o - root_lo) * (64.0 / np.maximum(root_hi - root_lo, 1e-20)), 0, 63
+    ).astype(np.uint32)
+    m = np.zeros(_PROBE_LANES, np.uint32)
+    for i in range(6):
+        for k in range(3):
+            m |= ((cell[:, k] >> i) & 1) << (3 * i + (2 - k))
+    octant = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)).astype(
+        np.uint32
+    )
+    order = np.argsort((octant << 27) | (m << 9), kind="stable")
+    ov = _V3(*(jnp.asarray(np.ascontiguousarray(o[order, k])) for k in range(3)))
+    dv = _V3(*(jnp.asarray(np.ascontiguousarray(d[order, k])) for k in range(3)))
+    t_lo = jnp.full((_PROBE_LANES,), 1e-4 * diag, jnp.float32)
+    t0 = jnp.full((_PROBE_LANES,), _BIGF, jnp.float32)
+
+    best, best_cut = np.inf, TREELET_TRIS
+    for cut in PROBE_CUTS:
+        tl_box, tl_lim, kt = _cut_tables(bvh, streams["pos8"], cut)
+        if kt <= 1:
+            continue
+        pb = _assemble(bvh, streams, tl_box, tl_lim, kt)
+        f = jax.jit(
+            lambda ov, dv, pb=pb: _windowed_sweep(
+                pb, ov, dv, t_lo, t0, shadow=False
+            )
+        )
+        jax.block_until_ready(f(ov, dv))  # compile (shared across cuts)
+        dt = np.inf
+        for _ in range(2):
+            s = _time.perf_counter()
+            jax.block_until_ready(f(ov, dv))
+            dt = min(dt, _time.perf_counter() - s)
+        if dt < best:
+            best, best_cut = dt, cut
+    return best_cut
 
 
 def _tile_beam_bounds(rays, t_init):
@@ -596,20 +737,27 @@ def _wkernel(
     t0_ref,
     tout,
     slotout,
-    code_s,
-    lf_s,
-    base_s,
-    tmax_s,
-    nf_v,
-    ni_v,
-    code_v,
-    tb_ref,
-    sb_ref,
-    sems,
-    *,
+    *rest,
     leaf_size: int,
     shadow: bool,
+    stats: bool = False,
+    strict: bool = False,
 ):
+    if stats:
+        statsout, *rest = rest
+    (
+        code_s,
+        lf_s,
+        base_s,
+        tmax_s,
+        cnt_s,
+        nf_v,
+        ni_v,
+        code_v,
+        tb_ref,
+        sb_ref,
+        sems,
+    ) = rest
     """Tile-windowed treelet walk (round 4).
 
     The shared-beam sweep's bounds come from ALL 1024 lanes, so a diffuse
@@ -638,6 +786,14 @@ def _wkernel(
     base_s[2] = _NEG_BIG  # node DATA chunk resident in nf_v/ni_v — the
     # raw stream never changes, so residency survives window changes;
     # only the cull CODES (base_s[0]) go stale when the beam bounds move
+    if stats:
+        cnt_s[0] = 0  # node visits
+        cnt_s[1] = 0  # leaf visits
+        cnt_s[2] = 0  # chunk cull passes (code rebuild + SMEM copy)
+        cnt_s[3] = 0  # node-data HBM DMAs
+        cnt_s[4] = 0  # leaf-chunk HBM DMAs
+        cnt_s[5] = 0  # windows entered (walked)
+        cnt_s[6] = 0  # window-loop iterations
 
     row = pl.program_id(0) % 8
     oct_i = oct_ref[row, 0]
@@ -648,9 +804,13 @@ def _wkernel(
         # ascending, so entry > tmax ends the whole tile (return n_win)
         tmax_s[0] = jnp.max(tb_ref[:])
         entry = win_f_ref[w, 0]
+        if stats:
+            cnt_s[6] = cnt_s[6] + 1
 
         @pl.when(entry <= tmax_s[0])
         def _():
+            if stats:
+                cnt_s[5] = cnt_s[5] + 1
             start_i = win_i_ref[w, 0]
             end_i = win_i_ref[w, 1]
             olx, ohx = win_f_ref[w, 1], win_f_ref[w, 2]
@@ -708,6 +868,8 @@ def _wkernel(
                         cpf.wait()
                         cpi.wait()
                         base_s[2] = nb
+                        if stats:
+                            cnt_s[3] = cnt_s[3] + 1
 
                     n_x, f_x = axis_bounds(nf_v[0], nf_v[3], olx, ohx, iax, ibx)
                     n_y, f_y = axis_bounds(nf_v[1], nf_v[4], oly, ohy, iay, iby)
@@ -737,7 +899,11 @@ def _wkernel(
                     cpc.start()
                     cpc.wait()
                     base_s[0] = nb
+                    if stats:
+                        cnt_s[2] = cnt_s[2] + 1
 
+                if stats:
+                    cnt_s[0] = cnt_s[0] + 1
                 off = cur - base_s[0]
                 code = code_s[off >> 7, off & 127]
                 is_leaf = code < -1
@@ -762,7 +928,11 @@ def _wkernel(
                         cp.start()
                         cp.wait()
                         base_s[1] = lb
+                        if stats:
+                            cnt_s[4] = cnt_s[4] + 1
 
+                    if stats:
+                        cnt_s[1] = cnt_s[1] + 1
                     loff = first_leaf - base_s[1]
                     tb_v = tb_ref[:]
                     sb_v = sb_ref[:]
@@ -798,7 +968,12 @@ def _wkernel(
                             & (v >= 0.0)
                             & (u + v <= 1.0)
                             & (tt > t_lo)
-                            & (tt <= tb_v)
+                            # strict (phase 2): only strictly-closer hits
+                            # may displace the phase-1 winner carried in
+                            # the combine outside; shadow keeps <= (any
+                            # occluder within t_max counts, idempotent)
+                            & ((tt < tb_v) if strict and not shadow
+                               else (tt <= tb_v))
                         )
                         if shadow:
                             tb_v = jnp.where(hit, -1.0, tb_v)
@@ -806,7 +981,10 @@ def _wkernel(
                                 hit, first_leaf * leaf_size + j, sb_v
                             )
                         else:
-                            replace = hit & ((tt < tb_v) | (sb_v < 0))
+                            replace = (
+                                hit if strict
+                                else hit & ((tt < tb_v) | (sb_v < 0))
+                            )
                             tb_v = jnp.where(replace, tt, tb_v)
                             sb_v = jnp.where(
                                 replace, first_leaf * leaf_size + j, sb_v
@@ -825,11 +1003,21 @@ def _wkernel(
     jax.lax.while_loop(lambda w: w < n_win, window, jnp.int32(0))
     tout[:] = tb_ref[:]
     slotout[:] = sb_ref[:]
+    if stats:
+        r = jax.lax.broadcasted_iota(jnp.int32, (_TILE_S, _TILE_L), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (_TILE_S, _TILE_L), 1)
+        vals = cnt_s[0]
+        for i in range(1, 7):
+            vals = jnp.where(r == i, cnt_s[i], vals)
+        statsout[:] = jnp.where((c == 0) & (r < 7), vals, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "shadow"))
+@functools.partial(
+    jax.jit, static_argnames=("leaf_size", "shadow", "stats", "strict")
+)
 def _windowed_sweep_call(
-    pb_arrays, win_f, win_i, nwin, octs, rays, t_lo, t_init, leaf_size, shadow
+    pb_arrays, win_f, win_i, nwin, octs, rays, t_lo, t_init, leaf_size, shadow,
+    stats=False, strict=False,
 ):
     nodes_f, nodes_i, leaves = pb_arrays
     n_rows = rays[0].shape[0]
@@ -851,22 +1039,33 @@ def _windowed_sweep_call(
         (kp, 2), lambda i: (i, 0), memory_space=pltpu.SMEM
     )
     oct_spec = pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    out_specs = (ray_spec, ray_spec)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
+    )
+    if stats:
+        out_specs = out_specs + (ray_spec,)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
+        )
     return pl.pallas_call(
-        functools.partial(_wkernel, leaf_size=leaf_size, shadow=shadow),
+        functools.partial(
+            _wkernel, leaf_size=leaf_size, shadow=shadow, stats=stats,
+            strict=strict,
+        ),
         grid=grid,
         in_specs=[win_f_spec, win_i_spec, oct_spec, oct_spec]
         + [any_spec] * 3
         + [ray_spec] * 8,
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, _TILE_L), jnp.int32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((_CROWS, _TILE_L), jnp.int32),  # code_s
             pltpu.SMEM((9 * leaf_size, LEAF_CHUNK), jnp.float32),
             pltpu.SMEM((3,), jnp.int32),  # code base, leaf base, data base
             pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((7,), jnp.int32),  # cnt_s (stats)
             pltpu.VMEM((6, _CROWS, _TILE_L), jnp.float32),  # nf_v
             pltpu.VMEM((2, _CROWS, _TILE_L), jnp.int32),  # ni_v
             pltpu.VMEM((_CROWS, _TILE_L), jnp.int32),  # code_v
@@ -889,15 +1088,22 @@ def _windowed_sweep_call(
     )
 
 
-def _window_glue(pb: PacketBVH, rays, t_lo_p, t_init, octs):
+def _window_glue(pb: PacketBVH, rays, t_lo_p, t_init, octs, walked=None):
     """Per-tile front-to-back treelet window tables, built at full VPU
     rate in XLA: exact per-ray slab tests against the treelet cut, then
     masked per-(tile, treelet) reductions give each window interval
-    bounds over ONLY its entering live lanes.  Returns
+    bounds over ONLY its entering live lanes.  ``walked`` (T, K) bool
+    masks treelets already walked by an earlier phase (see
+    :func:`_windowed_sweep`'s two-phase schedule).  Returns
     (win_f (T, Kp, 16) f32 [entry, 12 bounds, pad], win_i (T, Kp, 2) i32
-    stream windows in the tile's octant, nwin (T, 1) i32)."""
+    stream windows in the tile's octant, nwin (T, 1) i32,
+    order (T, K) i32 treelet ids in window order)."""
     kk = int(pb.n_treelets)
-    kp = -(-kk // 8) * 8
+    # pad the window tables to the treelet CAP, not the scene's K: every
+    # upload-time probe candidate (and any same-node-count rebuild) then
+    # shares one compiled kernel — K only varies the nwin loop bound
+    cap = int(os.environ.get("VKRT_MAX_TREELETS", MAX_TREELETS))
+    kp = -(-max(kk, cap) // 8) * 8
     box = pb.tl_box  # (K, 6)
     n_tiles = t_init.shape[0] // _TILE_S
     lane = lambda x: x.reshape(n_tiles, _TILE)
@@ -924,6 +1130,8 @@ def _window_glue(pb: PacketBVH, rays, t_lo_p, t_init, octs):
         & (far >= t_lo_l[..., None])
         & (near <= t_init_l[..., None])  # beyond the lane's cap: no hit
     )  # (T, TILE, K)
+    if walked is not None:
+        enters = enters & ~walked[:, None, :]
     te = jnp.where(enters, jnp.maximum(near, 0.0), _BIGF)
 
     entry = jnp.min(te, axis=1)  # (T, K)
@@ -959,7 +1167,7 @@ def _window_glue(pb: PacketBVH, rays, t_lo_p, t_init, octs):
     lims = jnp.take(pb.tl_lim, octs[:, 0], axis=0)  # (T, K, 2)
     win_i = jnp.take_along_axis(lims, order[..., None], axis=1)
     win_i = jnp.pad(win_i, ((0, 0), (0, kp - kk), (0, 0)))
-    return win_f, win_i, nwin
+    return win_f, win_i, nwin, order
 
 
 def _windowed_enabled(pb) -> bool:
@@ -972,19 +1180,78 @@ def _windowed_enabled(pb) -> bool:
     return pb.n_treelets > 1 and not os.environ.get("VKRT_NO_WINDOWED")
 
 
-def _windowed_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool):
-    """Windowed traversal entry: returns (t_best, slot, octs, n)."""
+#: closest-hit window batch sizes between re-glues (comma list, then an
+#: implicit "rest" phase; VKRT_WIN_SCHEDULE overrides, "" = single phase).
+#: The round-4 sim predicted x1.63 but handed the glue ORACLE-converged
+#: per-ray t caps; the real single-phase glue builds every window's beam
+#: from the initial (infinite) t, so the kernel visited 8390 nodes/tile
+#: where the sim said 5727 (tools/windowed_kernel_stats.py; the cost
+#: model fits the realised time to -1%, so the gap is visits, not
+#: overhead).  The multi-phase schedule walks a small batch of nearest
+#: windows — where almost all hits are — then RE-GLUES with the
+#: now-tightened per-lane t: resolved lanes stop dilating later beams,
+#: far windows prune outright.  Exact (each phase continues where the
+#: last stopped; no bounded-t escapees like the round-3 ladder).
+#: Shadow stays single-phase: terminate-on-first-hit already early-stops
+#: and the re-glue measured neutral-to-worse (57.4 -> 58-61 ms).
+WIN_SCHEDULE = "4,12"
+
+
+def _win_schedule() -> list:
+    s = os.environ.get("VKRT_WIN_SCHEDULE")
+    if s is None:
+        # legacy knob from the two-phase experiment keeps working
+        w1 = os.environ.get("VKRT_WIN_PHASE1")
+        if w1 is not None:
+            return [int(w1)] if int(w1) > 0 else []
+        s = WIN_SCHEDULE
+    return [int(x) for x in s.split(",") if x.strip()]
+
+
+def _windowed_sweep(pb: PacketBVH, o, d, t_lo_l, t_init0, shadow: bool,
+                    stats: bool = False):
+    """Windowed traversal entry: returns (t_best, slot, octs[, stats])."""
     n = o.x.shape[0]
+    kk = int(pb.n_treelets)
     rays, t_init, _ = _prep_rays(o, d, t_init0)
     t_lo_p = jnp.pad(t_lo_l, (0, t_init.size - n)).reshape(t_init.shape)
     _, octs = _tile_beam_bounds(rays, t_init)
-    win_f, win_i, nwin = _window_glue(pb, rays, t_lo_p, t_init, octs)
-    t_best, slot = _windowed_sweep_call(
-        (pb.nodes_f, pb.nodes_i, pb.leaves),
-        win_f, win_i, nwin, octs, rays, t_lo_p, t_init,
-        int(pb.leaf_size), shadow,
-    )
-    return t_best.reshape(-1)[:n], slot.reshape(-1)[:n], octs
+    batches = [b for b in _win_schedule() if 0 < b < kk] if not shadow else []
+    pb_arrays = (pb.nodes_f, pb.nodes_i, pb.leaves)
+
+    t_cur, slot, walked = t_init, None, None
+    st_acc = None
+    for i, b in enumerate(batches + [None]):
+        win_f, win_i, nwin, order = _window_glue(
+            pb, rays, t_lo_p, t_cur, octs, walked=walked
+        )
+        out = _windowed_sweep_call(
+            pb_arrays, win_f, win_i,
+            nwin if b is None else jnp.minimum(nwin, b),
+            octs, rays, t_lo_p, t_cur,
+            int(pb.leaf_size), shadow, stats=stats, strict=i > 0,
+        )
+        if slot is None:
+            t_cur, slot = out[0], out[1]
+        else:
+            upd = out[1] >= 0  # strict: only strictly-closer later hits
+            t_cur = jnp.where(upd, out[0], t_cur)
+            slot = jnp.where(upd, out[1], slot)
+        if stats:
+            st_acc = out[2] if st_acc is None else st_acc + out[2]
+        if b is None:
+            break
+        # mark this phase's windows walked (treelet-id space; the next
+        # glue re-sorts the survivors under the tightened t)
+        ranks = jnp.argsort(order, axis=1)  # treelet id -> window rank
+        done = ranks < jnp.minimum(nwin, b)[:, :1]
+        walked = done if walked is None else walked | done
+
+    res = (t_cur.reshape(-1)[:n], slot.reshape(-1)[:n], octs)
+    if stats:
+        # (n_tiles, 7) per-tile counters (see _wkernel cnt_s layout)
+        res = res + (st_acc.reshape(-1, _TILE_S, _TILE_L)[:, :7, 0],)
+    return res
 
 
 def packet_backend_ok() -> bool:

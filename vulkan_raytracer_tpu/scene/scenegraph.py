@@ -618,7 +618,9 @@ class Scene:
             bvh=bvh,
             ebvh=ebvh,
             grid=grid,
-            pbvh=_pack(bvh),
+            # reuse the upload-time treelet granularity: topology is
+            # unchanged on refit, so re-probing would only cost time
+            pbvh=_pack(bvh, max_tris=tables.pbvh.cut_tris or None),
         )
 
     def _build_material_table(self):
