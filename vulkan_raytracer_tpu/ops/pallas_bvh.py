@@ -1194,7 +1194,16 @@ def _windowed_enabled(pb) -> bool:
 #: last stopped; no bounded-t escapees like the round-3 ladder).
 #: Shadow stays single-phase: terminate-on-first-hit already early-stops
 #: and the re-glue measured neutral-to-worse (57.4 -> 58-61 ms).
-WIN_SCHEDULE = "4,12"
+#: Schedule sweep on the 262k-lane hall wave (v5e): single 381.0 ms,
+#: "16" 360.8, "4,12" 358.0, "4,8,16" 353.7 (best, x1.33 over the plain
+#: sweep's 472.1), "2,6,16" 355.3, "6,18" 356.4 — all bit-identical.
+#: Finer treelet cuts were swept at the same time and REJECTED: K=256
+#: (tt=1024) is strictly slower (376.9/371.3 ms) — per-window glue and
+#: cull overhead doubles faster than beams tighten — and K=512 exceeds
+#: the v5e 1 MiB SMEM budget outright (the (K,16)+(K,2) window tables
+#: are lane-padded in SMEM; XLA OOMs at compile), so the K -> infinity
+#: limit of the round-4 sim is unreachable in this layout.
+WIN_SCHEDULE = "4,8,16"
 
 
 def _win_schedule() -> list:
