@@ -20,6 +20,8 @@ and the matching shadow/pdf dispatchers):
   xla-dense       1k..DENSE_MAX_TRIS: XLA triangles-major fold
   packet          > DENSE_MAX_TRIS: Pallas beam kernel (forced small here)
   instanced       TLAS scan with per-prototype packet BLAS
+  sharded-windowed  render_image_sharded on a 1-device mesh with the
+                    tile-windowed treelet walk engaged (round 5)
 """
 
 from __future__ import annotations
@@ -110,23 +112,23 @@ def main() -> int:
 
     from vulkan_raytracer_tpu.scene.builtin import cornell_box_scene
 
-    print("[1/6] smem-sweep band (Cornell, 36 tris)")
+    print("[1/7] smem-sweep band (Cornell, 36 tris)")
     _render(cornell_box_scene().upload(), "smem-sweep")
 
-    print("[2/6] pallas-dense fori band (200 tris, 150 emissive: closest+shadow+pdf)")
+    print("[2/7] pallas-dense fori band (200 tris, 150 emissive: closest+shadow+pdf)")
     _render(_soup_scene(200, emissive_tris=150).upload(), "pallas-dense")
 
-    print("[3/6] xla-dense band (2k tris)")
+    print("[3/7] xla-dense band (2k tris)")
     _render(_soup_scene(2000, emissive_tris=40).upload(), "xla-dense")
 
-    print("[4/6] packet band (Cornell forced through the beam kernel)")
+    print("[4/7] packet band (Cornell forced through the beam kernel)")
     os.environ["VKRT_FORCE_PACKET"] = "1"
     try:
         _render(cornell_box_scene().upload(), "packet")
     finally:
         del os.environ["VKRT_FORCE_PACKET"]
 
-    print("[5/6] instanced packet BLAS (100-tri prototype x4, threshold 50)")
+    print("[5/7] instanced packet BLAS (100-tri prototype x4, threshold 50)")
     from vulkan_raytracer_tpu.scene import scenegraph as sg
 
     old = sg.DENSE_MAX_TRIS
@@ -141,7 +143,7 @@ def main() -> int:
     finally:
         sg.DENSE_MAX_TRIS = old
 
-    print("[6/6] pallas_shadow vs dense_shadow (the round-3 regression)")
+    print("[6/7] pallas_shadow vs dense_shadow (the round-3 regression)")
     import types
 
     import jax.numpy as jnp
@@ -173,6 +175,50 @@ def main() -> int:
     occ_d = np.asarray(dense_shadow(tbl, ov, dv, t_max=50.0, active=act))
     assert (occ_p == occ_d).all(), "pallas_shadow != dense_shadow"
     print(f"  kernel-equivalence: OK ({int(occ_p.sum())}/{n} occluded)")
+
+    print("[7/7] sharded windowed render (1-device mesh, multi-treelet packet)")
+    # Round-5 (VERDICT r4 item 7): the production multi-chip path must
+    # compile + execute on chip with the tile-windowed treelet walk — the
+    # default big-scene traversal — engaged.  Force the packet path on a
+    # mid-size soup and cut treelets small so n_treelets > 1.
+    from vulkan_raytracer_tpu.parallel.sharding import (
+        make_mesh,
+        render_image_sharded,
+    )
+    from vulkan_raytracer_tpu.render.renderer import render_image
+    from vulkan_raytracer_tpu.scene.camera import Camera
+
+    os.environ["VKRT_FORCE_PACKET"] = "1"
+    os.environ["VKRT_TREELET_TRIS"] = "1024"
+    try:
+        tbl7 = _soup_scene(6000, emissive_tris=60, seed=7).upload()
+        assert tbl7.pbvh.n_treelets > 1, (
+            f"expected multi-treelet packet BVH, got {tbl7.pbvh.n_treelets}"
+        )
+        cam = Camera(
+            position=np.array([0.0, 0.5, 5.0]),
+            direction=np.array([0.0, -0.1, -1.0]),
+        )
+        mesh = make_mesh(jax.devices()[:1])
+        img_s, rays_s = render_image_sharded(
+            tbl7, cam, 48, 48, spp=2, max_depth=3, mesh=mesh, tonemap=False
+        )
+        img_s = np.asarray(img_s)
+        assert np.isfinite(img_s).all(), "sharded-windowed: non-finite radiance"
+        assert img_s.mean() > 1e-5, "sharded-windowed: black frame"
+        img_p, _ = render_image(
+            tbl7, cam, 48, 48, spp=2, max_depth=3, tonemap=False
+        )
+        rmse = float(np.sqrt(np.mean((img_s - np.asarray(img_p)) ** 2)))
+        assert rmse < 1e-5, f"sharded-windowed vs plain RMSE {rmse:.2e}"
+        print(
+            f"  sharded-windowed: OK ({tbl7.pbvh.n_treelets} treelets, "
+            f"mean {img_s.mean():.4f}, {int(rays_s)} rays, "
+            f"RMSE vs plain {rmse:.2e})"
+        )
+    finally:
+        del os.environ["VKRT_FORCE_PACKET"]
+        del os.environ["VKRT_TREELET_TRIS"]
 
     print("hw_smoke: ALL BANDS PASS")
     return 0
