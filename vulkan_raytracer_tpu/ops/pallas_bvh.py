@@ -327,7 +327,11 @@ def _probe_treelet_cut(bvh, streams) -> int:
     bit = np.cross(nrm, tang)
     d = (r * np.cos(phi))[:, None] * tang + (r * np.sin(phi))[:, None] * bit \
         + np.sqrt(np.maximum(1 - u1, 0))[:, None] * nrm
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # degenerate lanes (nrm parallel to the fixed tangent seed, u1 ~ 1)
+    # can yield a near-zero d; keep them finite — they trace as a normal-
+    # direction ray and cost the probe nothing
+    nd = np.linalg.norm(d, axis=1, keepdims=True)
+    d = np.where(nd > 1e-12, d / np.maximum(nd, 1e-20), nrm)
     root_lo = np.asarray(bvh.aabb_min[0])
     root_hi = np.asarray(bvh.aabb_max[0])
     diag = float(np.linalg.norm(root_hi - root_lo))
