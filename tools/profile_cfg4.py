@@ -104,21 +104,46 @@ def main():
         p = pid_name.get(ev.get("pid"), "")
         return "TPU" in p or "/device" in p.lower()
 
-    by_class = defaultdict(float)
-    by_name = defaultdict(float)
-    total = 0.0
+    # Collect op-level device events per thread, then compute EXCLUSIVE
+    # (self) time: outer rows like the banded-render `while` contain every
+    # inner kernel as a nested complete event on the same thread, so raw
+    # durations double-count (192% of wall observed) — subtract each
+    # event's immediate children via a stack sweep over start-sorted rows.
+    per_thread = defaultdict(list)
     for ev in trace["traceEvents"]:
         if ev.get("ph") != "X" or not on_device(ev):
             continue
         tname = tid_name.get((ev.get("pid"), ev.get("tid")), "")
-        # XLA op rows live on '*XLA Ops*' / 'Steps' style threads; take the
-        # op-level thread only (avoid double counting module + op rows)
         if "xla op" not in tname.lower():
             continue
-        dur = ev.get("dur", 0) / 1e6  # us -> s
-        total += dur
-        by_class[classify(ev["name"])] += dur
-        by_name[ev["name"]] += dur
+        per_thread[(ev.get("pid"), ev.get("tid"))].append(
+            (ev["ts"], ev["ts"] + ev.get("dur", 0), ev["name"])
+        )
+
+    by_class = defaultdict(float)
+    by_name = defaultdict(float)
+    total = 0.0
+    for evs in per_thread.values():
+        evs.sort(key=lambda e: (e[0], -(e[1] - e[0])))
+        stack = []  # [start, end, name, child_us] — enclosing events
+        for st, en, name in evs:
+            while stack and stack[-1][1] <= st:
+                s0, e0, n0, ch = stack.pop()
+                self_s = (e0 - s0 - ch) / 1e6
+                by_class[classify(n0)] += self_s
+                by_name[n0] += self_s
+                total += self_s
+                if stack:
+                    stack[-1][3] += e0 - s0
+            stack.append([st, en, name, 0.0])
+        while stack:
+            s0, e0, n0, ch = stack.pop()
+            self_s = (e0 - s0 - ch) / 1e6
+            by_class[classify(n0)] += self_s
+            by_name[n0] += self_s
+            total += self_s
+            if stack:
+                stack[-1][3] += e0 - s0
 
     if total == 0.0:
         # fallback: some runtimes label threads differently; take the

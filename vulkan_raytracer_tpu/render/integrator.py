@@ -446,7 +446,8 @@ def generate_primary_rays(view_inv, proj_inv, width, height, sample_count, lane_
 # ---------------------------------------------------------------------------
 
 
-def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v) -> HitInfo:
+def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
+             sky: bool = True) -> HitInfo:
     """Build HitInfo for every lane; miss lanes get skybox emission, t=-INF.
 
     Under TLAS instancing ``tri`` is the encoded instance x prototype id
@@ -454,6 +455,13 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v) -> HitInfo:
     object-space normal/tangent transform by the hit instance's
     inverse-transpose rotation, exactly the reference's per-instance
     object->world step (hit.rchit:57-60).
+
+    ``sky=False`` leaves miss lanes' emissive BLACK instead of fetching the
+    skybox: the bounce loop defers the equirect fetch (12 gathers + 2
+    transcendentals per lane, measured 70 ms per 512k-lane band-bounce,
+    tools/bench_eval_split.py) to ONE post-loop evaluation — each lane
+    misses at most once and its miss direction survives in the final
+    wavefront state, so one fetch replaces max_depth+1 of them.
     """
     miss = tri < 0
     ti = jnp.maximum(tri, 0)
@@ -552,9 +560,14 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v) -> HitInfo:
     alpha_c = jnp.maximum(rough * rough, 0.001)  # hit.rchit:94-95
     alpha_x = alpha_c + (1.0 - alpha_c) * (aniso_s * aniso_s)  # mix (hit.rchit:112)
 
-    # miss lanes: skybox emission with t = -INF (skybox.rmiss:26-28)
-    sky = sample_equirect(tables.skybox, direction.to_array()) * tables.skybox_strength
-    emissive = V3.from_array(sky).where(miss, emissive)
+    # miss lanes: skybox emission with t = -INF (skybox.rmiss:26-28);
+    # under sky=False the caller adds the (deferred) skybox term itself
+    if sky:
+        skyv = sample_equirect(
+            tables.skybox, direction.to_array()) * tables.skybox_strength
+        emissive = V3.from_array(skyv).where(miss, emissive)
+    else:
+        emissive = emissive.where(~miss, V3(0.0, 0.0, 0.0))
     t_out = jnp.where(miss, -INF, t)
 
     mat = HitMaterial(
@@ -846,6 +859,10 @@ def render_sample(
     repack = (
         _beam_occlusion(tables) or bool(os.environ.get("VKRT_FORCE_REPACK"))
     ) and not os.environ.get("VKRT_NO_REPACK")
+    # deferred post-loop skybox fetch (A/B escape hatch; measured e2e in
+    # tools/bench_cfg4_quick.py — the per-bounce equirect fetch is 70 ms
+    # per 512k-lane band-bounce, tools/bench_eval_split.py)
+    defer_sky = not os.environ.get("VKRT_NO_DEFERRED_SKY")
     slot = None
     if lane_idx is None and repack:
         order, _ = _block_order(width, height)
@@ -870,6 +887,7 @@ def render_sample(
         mat_pdf=jnp.ones((n,), _F32),
         active=jnp.ones((n,), bool),
         slot=slot,
+        sky_w=V3.splat((0.0, 0.0, 0.0), (n,)),
         rays=jnp.zeros((), jnp.int32),
     )
 
@@ -886,11 +904,20 @@ def render_sample(
             active=active,
             seed=s["seed"],
         )
-        hit = eval_hit(tables, s["origin"], s["direction"], t, tri, u, v)
+        hit = eval_hit(tables, s["origin"], s["direction"], t, tri, u, v,
+                       sky=not defer_sky)
 
         miss = tri < 0
         is_emissive = hit.mat.emissive.any_nonzero()
         terminal = miss | is_emissive | (b == max_depth) | (preview & (b == 1))
+
+        # deferred skybox (skybox.rmiss): record throughput at the miss —
+        # the lane goes inactive here and its direction survives in the
+        # final state, so ONE post-loop equirect fetch serves every bounce
+        sky_w = s["sky_w"]
+        if defer_sky:
+            sky_w = sky_w + s["throughput"].where(
+                active & miss, V3(0.0, 0.0, 0.0))
 
         # emissive MIS probe (raygen.rgen:67-73); miss lanes keep weight 1
         probe_mask = active & terminal & is_emissive & ~miss & (b != 0)
@@ -944,6 +971,7 @@ def render_sample(
             mat_pdf=mat_pdf,
             active=alive,
             slot=s["slot"],
+            sky_w=sky_w,
             rays=rays,
         )
 
@@ -963,7 +991,15 @@ def render_sample(
         return b + 1, bounce(b, s)
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-    value = out["value"].to_array()
+    value = out["value"]
+    if defer_sky:
+        # deferred skybox: one equirect fetch for the whole loop (each lane
+        # misses at most once; its miss direction survived in the state)
+        sky = sample_equirect(
+            tables.skybox, out["direction"].to_array()
+        ) * tables.skybox_strength
+        value = value + out["sky_w"] * V3.from_array(sky)
+    value = value.to_array()
     if repack:  # lanes were permuted; scatter back to output positions
         value = jnp.zeros_like(value).at[out["slot"]].set(value)
     return value, out["rays"]
