@@ -888,6 +888,9 @@ def render_sample(
         active=jnp.ones((n,), bool),
         slot=slot,
         sky_w=V3.splat((0.0, 0.0, 0.0), (n,)),
+        # per-lane under sample batching (each lane is a (pixel, sample)
+        # pair); lives in the state so the width ladder slices it
+        preview=jnp.broadcast_to(preview, (n,)),
         rays=jnp.zeros((), jnp.int32),
     )
 
@@ -909,7 +912,9 @@ def render_sample(
 
         miss = tri < 0
         is_emissive = hit.mat.emissive.any_nonzero()
-        terminal = miss | is_emissive | (b == max_depth) | (preview & (b == 1))
+        terminal = (
+            miss | is_emissive | (b == max_depth) | (s["preview"] & (b == 1))
+        )
 
         # deferred skybox (skybox.rmiss): record throughput at the miss —
         # the lane goes inactive here and its direction survives in the
@@ -972,25 +977,89 @@ def render_sample(
             active=alive,
             slot=s["slot"],
             sky_w=sky_w,
+            preview=s["preview"],
             rays=rays,
         )
 
     # while-loop with early exit: once every lane terminated (miss/emissive/
     # zero throughput) remaining bounces are skipped — the wavefront analogue
     # of the reference's per-thread `break` (raygen.rgen:64,84)
-    def cond(carry):
-        b, s = carry
-        return (b <= max_depth) & jnp.any(s["active"])
+    def run_phase(b0, s0, live_floor):
+        """Bounce at this state's width while more than ``live_floor``
+        lanes are alive (and bounces remain)."""
 
-    def body(carry):
-        b, s = carry
-        if repack:  # static: re-sort bounce wavefronts for packet coherence
+        def cond(carry):
+            b, s = carry
+            alive = jnp.sum(s["active"], dtype=jnp.int32)
+            return (b <= max_depth) & (alive > live_floor)
+
+        def body(carry):
+            b, s = carry
+            if repack:  # static: re-sort bounce wavefronts for coherence
+                s = jax.lax.cond(
+                    b > 0, lambda st: _sort_wavefront(tables, st),
+                    lambda st: st, s,
+                )
+            return b + 1, bounce(b, s)
+
+        return jax.lax.while_loop(cond, body, (b0, s0))
+
+    if repack and n % 4 == 0 and not os.environ.get("VKRT_NO_WIDTH_LADDER"):
+        # Wavefront width ladder (round 5): the eval half of a bounce
+        # (eval_hit/sample_material/sample_lights — measured ~230 ms per
+        # 512k-lane band-bounce, tools/bench_eval_split.py) runs at FULL
+        # band width however many lanes are dead; measured occupancy on
+        # the cfg4 wave decays 1.0/0.84/0.59/0.42/0.30 by bounce
+        # (tools/bounce_occupancy.py).  The coherence sort is dead-last,
+        # so once at most half the lanes are alive the live wavefront is
+        # a PREFIX: sort, statically slice it, and keep bouncing at
+        # half (then quarter) width — the wavefront-compaction analogue
+        # the reference gets from its hardware scheduler's thread
+        # retirement (raygen.rgen:64,84 early breaks).  Dead lanes'
+        # state is invariant under bounce(), so the sliced-out tail
+        # needs no further work; results are bit-identical.
+        b1, s1 = run_phase(jnp.int32(0), state, jnp.int32(n // 2))
+
+        def boundary(s, m):
+            """Sort live-first (full current width), split prefix."""
             s = jax.lax.cond(
-                b > 0, lambda st: _sort_wavefront(tables, st), lambda st: st, s
+                jnp.any(s["active"]),
+                lambda st: _sort_wavefront(tables, st), lambda st: st, s,
             )
-        return b + 1, bounce(b, s)
+            lo, hi = {}, {}
+            for k, v in s.items():
+                if isinstance(v, V3):
+                    lo[k] = V3(v.x[:m], v.y[:m], v.z[:m])
+                    hi[k] = V3(v.x[m:], v.y[m:], v.z[m:])
+                elif k == "rays":
+                    lo[k] = v
+                    hi[k] = None
+                else:
+                    lo[k], hi[k] = v[:m], v[m:]
+            return lo, hi
 
-    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        def rejoin(lo, hi):
+            out = {}
+            for k, v in lo.items():
+                if isinstance(v, V3):
+                    out[k] = V3(
+                        jnp.concatenate([v.x, hi[k].x]),
+                        jnp.concatenate([v.y, hi[k].y]),
+                        jnp.concatenate([v.z, hi[k].z]),
+                    )
+                elif k == "rays":
+                    out[k] = v
+                else:
+                    out[k] = jnp.concatenate([v, hi[k]])
+            return out
+
+        half, tail_h = boundary(s1, n // 2)
+        b2, half = run_phase(b1, half, jnp.int32(n // 4))
+        quart, tail_q = boundary(half, n // 4)
+        _, quart = run_phase(b2, quart, jnp.int32(0))
+        out = rejoin(rejoin(quart, tail_q), tail_h)
+    else:
+        _, out = run_phase(jnp.int32(0), state, jnp.int32(0))
     value = out["value"]
     if defer_sky:
         # deferred skybox: one equirect fetch for the whole loop (each lane
