@@ -473,13 +473,32 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
     pos = origin + direction * t_safe
 
-    def interp3(t0, t1, t2):  # V3-of-(T,) vertex attrs -> V3 interpolated
-        a = v3_gather(t0, ti)
-        b = v3_gather(t1, ti)
-        c = v3_gather(t2, ti)
-        return a * w0 + b * u + c * v
+    # ONE row gather for all 19 per-triangle attribute scalars: a packed
+    # (T, K) row gather costs the same as a single element gather on TPU
+    # (flat in K to 32, tools/bench_gather_pack.py), so stacking the
+    # columns at trace time (loop-invariant; XLA hoists it) replaces the
+    # 19 separate 1-D gathers this used to issue per bounce
+    tp = jnp.stack(
+        [
+            tables.n0.x, tables.n0.y, tables.n0.z,
+            tables.n1.x, tables.n1.y, tables.n1.z,
+            tables.n2.x, tables.n2.y, tables.n2.z,
+            tables.tg0.x, tables.tg0.y, tables.tg0.z,
+            tables.tg1.x, tables.tg1.y, tables.tg1.z,
+            tables.tg2.x, tables.tg2.y, tables.tg2.z,
+            tables.tg_sign,
+        ],
+        axis=1,
+    )
+    g = jnp.take(tp, ti, axis=0)  # (N, 19)
 
-    normal = interp3(tables.n0, tables.n1, tables.n2)
+    def col3(k):
+        return V3(g[:, k], g[:, k + 1], g[:, k + 2])
+
+    def interp3(k):  # packed vertex attrs at k..k+9 -> V3 interpolated
+        return col3(k) * w0 + col3(k + 3) * u + col3(k + 6) * v
+
+    normal = interp3(0)
     if inst_i is not None:
         normal = apply_normal_matrix(tables.inst, inst_i, normal)
     normal = normal.normalized()
@@ -488,11 +507,11 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
     m = tables.materials
 
     # tangent frame (hit.rchit:61-71): built from the pre-flip normal
-    tg_raw = interp3(tables.tg0, tables.tg1, tables.tg2)
+    tg_raw = interp3(9)
     if inst_i is not None:
         tg_raw = apply_normal_matrix(tables.inst, inst_i, tg_raw)
     has_tg = tg_raw.any_nonzero()
-    sign = jnp.take(tables.tg_sign, ti, axis=0)
+    sign = g[:, 18]
     tg_n = tg_raw.normalized()
 
     shading_normal = normal
@@ -527,14 +546,27 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
     front = shading_normal.dot(view) >= 0.0
     shading_normal = shading_normal.where(front, -shading_normal)
 
-    # material evaluation (hit.rchit:75-113)
-    base = v3_gather(m.base_colour, mat_i)
-    emissive = v3_gather(m.emissive_v, mat_i)
-    transmission = jnp.take(m.transmission, mat_i, axis=0)
-    metallic = jnp.take(m.metallic, mat_i, axis=0)
-    rough = jnp.take(m.roughness, mat_i, axis=0)
-    aniso_s = jnp.take(m.aniso_strength, mat_i, axis=0)
-    aniso_r = jnp.take(m.aniso_rotation, mat_i, axis=0)
+    # material evaluation (hit.rchit:75-113) — one packed row gather for
+    # all 17 per-material scalars (same rationale as the attribute pack)
+    mp = jnp.stack(
+        [
+            m.base_colour.x, m.base_colour.y, m.base_colour.z,
+            m.emissive_v.x, m.emissive_v.y, m.emissive_v.z,
+            m.transmission, m.metallic, m.roughness,
+            m.aniso_strength, m.aniso_rotation, m.ior,
+            m.attenuation.x, m.attenuation.y, m.attenuation.z,
+            m.dispersion, m.thin.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    mg = jnp.take(mp, mat_i, axis=0)  # (N, 17)
+    base = V3(mg[:, 0], mg[:, 1], mg[:, 2])
+    emissive = V3(mg[:, 3], mg[:, 4], mg[:, 5])
+    transmission = mg[:, 6]
+    metallic = mg[:, 7]
+    rough = mg[:, 8]
+    aniso_s = mg[:, 9]
+    aniso_r = mg[:, 10]
 
     if tables.has_textures:
         def sample(col):
@@ -579,10 +611,10 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
         ad_x=jnp.cos(aniso_r),
         ad_y=jnp.sin(aniso_r),
         transmission=transmission,
-        ior=jnp.take(m.ior, mat_i, axis=0),
-        thin=jnp.take(m.thin, mat_i, axis=0),
-        attenuation=v3_gather(m.attenuation, mat_i),
-        dispersion=jnp.take(m.dispersion, mat_i, axis=0),
+        ior=mg[:, 11],
+        thin=mg[:, 16] != 0.0,
+        attenuation=V3(mg[:, 12], mg[:, 13], mg[:, 14]),
+        dispersion=mg[:, 15],
     )
     return HitInfo(
         pos=pos,
@@ -691,10 +723,20 @@ def _sample_emissive(tables, hit, seed, mask):
     uy = jnp.where(fold, 1.0 - uy, uy)
 
     # emissive-local world-space columns (valid under instancing too,
-    # where the global columns hold object-space prototypes)
-    v0 = v3_gather(tables.em_v0, tri_e)
-    v1 = v3_gather(tables.em_v1, tri_e)
-    v2 = v3_gather(tables.em_v2, tri_e)
+    # where the global columns hold object-space prototypes); one packed
+    # (Te, 9) row gather replaces 9 flat gathers (bench_gather_pack.py)
+    ep = jnp.stack(
+        [
+            tables.em_v0.x, tables.em_v0.y, tables.em_v0.z,
+            tables.em_v1.x, tables.em_v1.y, tables.em_v1.z,
+            tables.em_v2.x, tables.em_v2.y, tables.em_v2.z,
+        ],
+        axis=1,
+    )
+    eg = jnp.take(ep, tri_e, axis=0)
+    v0 = V3(eg[:, 0], eg[:, 1], eg[:, 2])
+    v1 = V3(eg[:, 3], eg[:, 4], eg[:, 5])
+    v2 = V3(eg[:, 6], eg[:, 7], eg[:, 8])
     point = v0 * ux + v1 * uy + v2 * (1.0 - ux - uy)
 
     ray = point - hit.pos
