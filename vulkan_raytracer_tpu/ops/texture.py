@@ -190,16 +190,14 @@ def sample_equirect(env: EnvMap, direction):
     y0i = jnp.mod(y0.astype(jnp.int32), h)
     y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
 
+    # one packed (H*W, 3) row gather per bilinear corner instead of three
+    # element gathers each: a row gather costs the same as one element
+    # gather on TPU (tools/bench_gather_pack.py); the trace-time stack is
+    # loop-invariant and hoisted by XLA
+    rgb = jnp.stack([env.r, env.g, env.b], axis=1)
+
     def fetch(yy, xx):
-        idx = yy * w + xx
-        return jnp.stack(
-            [
-                jnp.take(env.r, idx, axis=0),
-                jnp.take(env.g, idx, axis=0),
-                jnp.take(env.b, idx, axis=0),
-            ],
-            axis=-1,
-        )
+        return jnp.take(rgb, yy * w + xx, axis=0)
 
     c00 = fetch(y0i, x0i)
     c01 = fetch(y0i, x1i)

@@ -667,30 +667,44 @@ def _sample_analytic(tables, hit, seed, mask):
     )
     seed = jnp.where(mask, seed_i, seed)
 
-    # point branch
+    # point branch — one packed (P, 8) row gather (bench_gather_pack.py)
     pi = jnp.clip(idx, 0, max(np_ - 1, 0))
-    l_pos = v3_gather(tables.pl_pos, pi)
+    plp = jnp.stack(
+        [
+            tables.pl_pos.x, tables.pl_pos.y, tables.pl_pos.z,
+            tables.pl_colour.x, tables.pl_colour.y, tables.pl_colour.z,
+            tables.pl_intensity, tables.pl_range,
+        ],
+        axis=1,
+    )
+    pg = jnp.take(plp, pi, axis=0)
+    l_pos = V3(pg[:, 0], pg[:, 1], pg[:, 2])
     ray = l_pos - hit.pos
     dist = jnp.sqrt(jnp.maximum(ray.length_sq(), 1e-30))
     dir_p = ray / dist
-    l_range = jnp.take(tables.pl_range, pi, axis=0)
+    l_range = pg[:, 7]
     att = jnp.where(
         l_range == 0.0,
         1.0,
         jnp.maximum(1.0 - (dist / jnp.maximum(l_range, 1e-20)) ** 4, 0.0),
     )
     att = jnp.minimum(att / (dist * dist), 1.0)
-    rad_p = v3_gather(tables.pl_colour, pi) * (
-        jnp.take(tables.pl_intensity, pi, axis=0) * att
-    )
+    rad_p = V3(pg[:, 3], pg[:, 4], pg[:, 5]) * (pg[:, 6] * att)
     pdf_p = jnp.full((n,), p_factor / max(np_, 1), _F32)
 
-    # directional branch
+    # directional branch — one packed (D, 7) row gather
     di = jnp.clip(idx - np_, 0, max(nd - 1, 0))
-    dir_d = -v3_gather(tables.dl_dir, di)
-    rad_d = v3_gather(tables.dl_colour, di) * jnp.take(
-        tables.dl_intensity, di, axis=0
+    dlp = jnp.stack(
+        [
+            tables.dl_dir.x, tables.dl_dir.y, tables.dl_dir.z,
+            tables.dl_colour.x, tables.dl_colour.y, tables.dl_colour.z,
+            tables.dl_intensity,
+        ],
+        axis=1,
     )
+    dg = jnp.take(dlp, di, axis=0)
+    dir_d = -V3(dg[:, 0], dg[:, 1], dg[:, 2])
+    rad_d = V3(dg[:, 3], dg[:, 4], dg[:, 5]) * dg[:, 6]
     pdf_d = jnp.full((n,), p_factor / max(nd, 1), _F32)
 
     light_dir = dir_p.where(pick_point, dir_d)
@@ -754,14 +768,23 @@ def _sample_emissive(tables, hit, seed, mask):
     # happens in sample_lights, merged with the analytic shadow ray.
     t_max = dist * jnp.float32(1.0 - 1e-4) - jnp.float32(1e-5)
 
-    mat_i = jnp.take(tables.em_mat, tri_e, axis=0)
-    radiance = v3_gather(tables.materials.emissive_v, mat_i)
+    # emissive radiance folded to emissive-local (Te, 3) at trace time
+    # (loop-invariant double gather hoisted by XLA) -> one row gather
+    ev = tables.materials.emissive_v
+    em_rad = jnp.take(
+        jnp.stack([ev.x, ev.y, ev.z], axis=1), tables.em_mat, axis=0
+    )
+    rg = jnp.take(em_rad, tri_e, axis=0)
+    radiance = V3(rg[:, 0], rg[:, 1], rg[:, 2])
     if tables.has_textures:
         # emissive.rchit:39-41 modulates by the emissive texture at the
         # verify hit; the hit point IS the sampled point, whose exact
         # barycentric weights are (ux, uy, 1-ux-uy) — no re-intersection
         # needed.  A black texel leaves instanceHit false.
-        tex_e = jnp.take(tables.materials.tex_idx, mat_i, axis=0)[:, 3]
+        tex_e = jnp.take(
+            jnp.take(tables.materials.tex_idx[:, 3], tables.em_mat, axis=0),
+            tri_e, axis=0,
+        )
         uv_g = jnp.take(tables.em_uv, tri_e, axis=0)
         w2 = 1.0 - ux - uy
         uv_hit = jnp.stack(
