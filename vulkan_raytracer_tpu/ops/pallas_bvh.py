@@ -77,6 +77,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gatherpack import packed_gather
 from .math3 import V3, v3_gather
 
 _TILE_S, _TILE_L = 8, 128
@@ -1311,20 +1312,20 @@ def _winner_uv(tables, o, d, found, t_best, tri):
     One packed (T, 9) row gather — a row gather costs the same as one
     element gather on TPU (tools/bench_gather_pack.py), so stacking the
     vertex columns at trace time (loop-invariant, hoisted by XLA)
-    replaces the 9 separate flat gathers this used to issue."""
+    replaces the 9 separate flat gathers this used to issue; small
+    tables keep element gathers (ops/gatherpack.py size gate)."""
     ti = jnp.maximum(tri, 0)
-    vp = jnp.stack(
+    g = packed_gather(
         [
             tables.v0.x, tables.v0.y, tables.v0.z,
             tables.v1.x, tables.v1.y, tables.v1.z,
             tables.v2.x, tables.v2.y, tables.v2.z,
         ],
-        axis=1,
+        ti,
     )
-    g = jnp.take(vp, ti, axis=0)  # (N, 9)
-    wv0 = V3(g[:, 0], g[:, 1], g[:, 2])
-    e1 = V3(g[:, 3], g[:, 4], g[:, 5]) - wv0
-    e2 = V3(g[:, 6], g[:, 7], g[:, 8]) - wv0
+    wv0 = V3(g[0], g[1], g[2])
+    e1 = V3(g[3], g[4], g[5]) - wv0
+    e2 = V3(g[6], g[7], g[8]) - wv0
     pvec = d.cross(e2)
     det = e1.dot(pvec)
     inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .gatherpack import packed_gather
 from .math3 import PIINV, TWOPIINV
 
 
@@ -193,11 +194,11 @@ def sample_equirect(env: EnvMap, direction):
     # one packed (H*W, 3) row gather per bilinear corner instead of three
     # element gathers each: a row gather costs the same as one element
     # gather on TPU (tools/bench_gather_pack.py); the trace-time stack is
-    # loop-invariant and hoisted by XLA
-    rgb = jnp.stack([env.r, env.g, env.b], axis=1)
-
+    # loop-invariant and hoisted by XLA.  Tiny stub envmaps keep element
+    # gathers (ops/gatherpack.py size gate).
     def fetch(yy, xx):
-        return jnp.take(rgb, yy * w + xx, axis=0)
+        g = packed_gather([env.r, env.g, env.b], yy * w + xx)
+        return jnp.stack(g, axis=-1)
 
     c00 = fetch(y0i, x0i)
     c01 = fetch(y0i, x1i)

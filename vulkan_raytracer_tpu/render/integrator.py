@@ -70,6 +70,7 @@ from ..ops.pallas_dense import (
     pallas_pdf_ok,
     pallas_shadow,
 )
+from ..ops.gatherpack import packed_gather
 from ..ops.texture import sample_bilinear, sample_equirect
 from ..ops.traverse import trace_closest, trace_emissive_pdf, trace_shadow
 
@@ -477,8 +478,9 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
     # (T, K) row gather costs the same as a single element gather on TPU
     # (flat in K to 32, tools/bench_gather_pack.py), so stacking the
     # columns at trace time (loop-invariant; XLA hoists it) replaces the
-    # 19 separate 1-D gathers this used to issue per bounce
-    tp = jnp.stack(
+    # 19 separate 1-D gathers this used to issue per bounce.  Small
+    # tables keep element gathers (ops/gatherpack.py size gate).
+    g = packed_gather(
         [
             tables.n0.x, tables.n0.y, tables.n0.z,
             tables.n1.x, tables.n1.y, tables.n1.z,
@@ -488,12 +490,11 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
             tables.tg2.x, tables.tg2.y, tables.tg2.z,
             tables.tg_sign,
         ],
-        axis=1,
+        ti,
     )
-    g = jnp.take(tp, ti, axis=0)  # (N, 19)
 
     def col3(k):
-        return V3(g[:, k], g[:, k + 1], g[:, k + 2])
+        return V3(g[k], g[k + 1], g[k + 2])
 
     def interp3(k):  # packed vertex attrs at k..k+9 -> V3 interpolated
         return col3(k) * w0 + col3(k + 3) * u + col3(k + 6) * v
@@ -511,7 +512,7 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
     if inst_i is not None:
         tg_raw = apply_normal_matrix(tables.inst, inst_i, tg_raw)
     has_tg = tg_raw.any_nonzero()
-    sign = g[:, 18]
+    sign = g[18]
     tg_n = tg_raw.normalized()
 
     shading_normal = normal
@@ -547,26 +548,26 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
     shading_normal = shading_normal.where(front, -shading_normal)
 
     # material evaluation (hit.rchit:75-113) — one packed row gather for
-    # all 17 per-material scalars (same rationale as the attribute pack)
-    mp = jnp.stack(
+    # all 17 per-material scalars when the table is big enough (material
+    # tables are usually tiny, where the element path is the known one)
+    mg = packed_gather(
         [
             m.base_colour.x, m.base_colour.y, m.base_colour.z,
             m.emissive_v.x, m.emissive_v.y, m.emissive_v.z,
             m.transmission, m.metallic, m.roughness,
             m.aniso_strength, m.aniso_rotation, m.ior,
             m.attenuation.x, m.attenuation.y, m.attenuation.z,
-            m.dispersion, m.thin.astype(jnp.float32),
+            m.dispersion, m.thin,
         ],
-        axis=1,
+        mat_i,
     )
-    mg = jnp.take(mp, mat_i, axis=0)  # (N, 17)
-    base = V3(mg[:, 0], mg[:, 1], mg[:, 2])
-    emissive = V3(mg[:, 3], mg[:, 4], mg[:, 5])
-    transmission = mg[:, 6]
-    metallic = mg[:, 7]
-    rough = mg[:, 8]
-    aniso_s = mg[:, 9]
-    aniso_r = mg[:, 10]
+    base = V3(mg[0], mg[1], mg[2])
+    emissive = V3(mg[3], mg[4], mg[5])
+    transmission = mg[6]
+    metallic = mg[7]
+    rough = mg[8]
+    aniso_s = mg[9]
+    aniso_r = mg[10]
 
     if tables.has_textures:
         def sample(col):
@@ -611,10 +612,10 @@ def eval_hit(tables, origin: V3, direction: V3, t, tri, u, v,
         ad_x=jnp.cos(aniso_r),
         ad_y=jnp.sin(aniso_r),
         transmission=transmission,
-        ior=mg[:, 11],
-        thin=mg[:, 16] != 0.0,
-        attenuation=V3(mg[:, 12], mg[:, 13], mg[:, 14]),
-        dispersion=mg[:, 15],
+        ior=mg[11],
+        thin=mg[16],
+        attenuation=V3(mg[12], mg[13], mg[14]),
+        dispersion=mg[15],
     )
     return HitInfo(
         pos=pos,
@@ -667,44 +668,42 @@ def _sample_analytic(tables, hit, seed, mask):
     )
     seed = jnp.where(mask, seed_i, seed)
 
-    # point branch — one packed (P, 8) row gather (bench_gather_pack.py)
+    # point branch — one size-gated row gather for the 8 light scalars
     pi = jnp.clip(idx, 0, max(np_ - 1, 0))
-    plp = jnp.stack(
+    pg = packed_gather(
         [
             tables.pl_pos.x, tables.pl_pos.y, tables.pl_pos.z,
             tables.pl_colour.x, tables.pl_colour.y, tables.pl_colour.z,
             tables.pl_intensity, tables.pl_range,
         ],
-        axis=1,
+        pi,
     )
-    pg = jnp.take(plp, pi, axis=0)
-    l_pos = V3(pg[:, 0], pg[:, 1], pg[:, 2])
+    l_pos = V3(pg[0], pg[1], pg[2])
     ray = l_pos - hit.pos
     dist = jnp.sqrt(jnp.maximum(ray.length_sq(), 1e-30))
     dir_p = ray / dist
-    l_range = pg[:, 7]
+    l_range = pg[7]
     att = jnp.where(
         l_range == 0.0,
         1.0,
         jnp.maximum(1.0 - (dist / jnp.maximum(l_range, 1e-20)) ** 4, 0.0),
     )
     att = jnp.minimum(att / (dist * dist), 1.0)
-    rad_p = V3(pg[:, 3], pg[:, 4], pg[:, 5]) * (pg[:, 6] * att)
+    rad_p = V3(pg[3], pg[4], pg[5]) * (pg[6] * att)
     pdf_p = jnp.full((n,), p_factor / max(np_, 1), _F32)
 
-    # directional branch — one packed (D, 7) row gather
+    # directional branch — one size-gated row gather
     di = jnp.clip(idx - np_, 0, max(nd - 1, 0))
-    dlp = jnp.stack(
+    dg = packed_gather(
         [
             tables.dl_dir.x, tables.dl_dir.y, tables.dl_dir.z,
             tables.dl_colour.x, tables.dl_colour.y, tables.dl_colour.z,
             tables.dl_intensity,
         ],
-        axis=1,
+        di,
     )
-    dg = jnp.take(dlp, di, axis=0)
-    dir_d = -V3(dg[:, 0], dg[:, 1], dg[:, 2])
-    rad_d = V3(dg[:, 3], dg[:, 4], dg[:, 5]) * dg[:, 6]
+    dir_d = -V3(dg[0], dg[1], dg[2])
+    rad_d = V3(dg[3], dg[4], dg[5]) * dg[6]
     pdf_d = jnp.full((n,), p_factor / max(nd, 1), _F32)
 
     light_dir = dir_p.where(pick_point, dir_d)
@@ -738,19 +737,18 @@ def _sample_emissive(tables, hit, seed, mask):
 
     # emissive-local world-space columns (valid under instancing too,
     # where the global columns hold object-space prototypes); one packed
-    # (Te, 9) row gather replaces 9 flat gathers (bench_gather_pack.py)
-    ep = jnp.stack(
+    # (Te, 9) row gather replaces 9 flat gathers when Te is big enough
+    eg = packed_gather(
         [
             tables.em_v0.x, tables.em_v0.y, tables.em_v0.z,
             tables.em_v1.x, tables.em_v1.y, tables.em_v1.z,
             tables.em_v2.x, tables.em_v2.y, tables.em_v2.z,
         ],
-        axis=1,
+        tri_e,
     )
-    eg = jnp.take(ep, tri_e, axis=0)
-    v0 = V3(eg[:, 0], eg[:, 1], eg[:, 2])
-    v1 = V3(eg[:, 3], eg[:, 4], eg[:, 5])
-    v2 = V3(eg[:, 6], eg[:, 7], eg[:, 8])
+    v0 = V3(eg[0], eg[1], eg[2])
+    v1 = V3(eg[3], eg[4], eg[5])
+    v2 = V3(eg[6], eg[7], eg[8])
     point = v0 * ux + v1 * uy + v2 * (1.0 - ux - uy)
 
     ray = point - hit.pos
@@ -768,21 +766,22 @@ def _sample_emissive(tables, hit, seed, mask):
     # happens in sample_lights, merged with the analytic shadow ray.
     t_max = dist * jnp.float32(1.0 - 1e-4) - jnp.float32(1e-5)
 
-    # emissive radiance folded to emissive-local (Te, 3) at trace time
-    # (loop-invariant double gather hoisted by XLA) -> one row gather
+    # emissive radiance folded to emissive-local (Te, 3) columns at trace
+    # time (loop-invariant double gather hoisted by XLA) -> one size-gated
+    # per-lane gather
     ev = tables.materials.emissive_v
-    em_rad = jnp.take(
-        jnp.stack([ev.x, ev.y, ev.z], axis=1), tables.em_mat, axis=0
+    em_mat = tables.em_mat
+    rg = packed_gather(
+        [jnp.take(c, em_mat, axis=0) for c in (ev.x, ev.y, ev.z)], tri_e
     )
-    rg = jnp.take(em_rad, tri_e, axis=0)
-    radiance = V3(rg[:, 0], rg[:, 1], rg[:, 2])
+    radiance = V3(rg[0], rg[1], rg[2])
     if tables.has_textures:
         # emissive.rchit:39-41 modulates by the emissive texture at the
         # verify hit; the hit point IS the sampled point, whose exact
         # barycentric weights are (ux, uy, 1-ux-uy) — no re-intersection
         # needed.  A black texel leaves instanceHit false.
         tex_e = jnp.take(
-            jnp.take(tables.materials.tex_idx[:, 3], tables.em_mat, axis=0),
+            jnp.take(tables.materials.tex_idx[:, 3], em_mat, axis=0),
             tri_e, axis=0,
         )
         uv_g = jnp.take(tables.em_uv, tri_e, axis=0)
